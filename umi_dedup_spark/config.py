@@ -1,0 +1,76 @@
+"""Pipeline configuration.
+
+The "identical shingle/signature config" knob set that dup-pair recall
+parity is defined over (SURVEY.md §7 M0). Mirrors the reference's CLI
+surface (``/root/reference/dedup.py:8-26``: algorithm, optical distance,
+truncation, kmax) re-expressed for text dedup.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- text normalization / usability filters (analog of
+    # alignment_is_good + umi_is_good, reference lib/parse_sam.py:5-6,
+    # lib/umi_data.py:7-10) ---
+    min_text_chars: int = 8          # drop docs shorter than this
+    lowercase: bool = True
+    collapse_whitespace: bool = True
+
+    # --- shingling / fingerprints (analog of the UMI itself,
+    # reference lib/umi_data.py:5) ---
+    shingle_k: int = 5               # tokens per shingle
+    num_perm: int = 64               # MinHash signature length
+    simhash_bits: int = 64           # SimHash fingerprint width
+
+    # --- LSH banding (analog of the (strand,pos) grouping scope,
+    # reference lib/markdup_sam.py:64) ---
+    lsh_bands: int = 16
+    lsh_rows: int = 4                # bands*rows must == num_perm
+
+    # --- directional edge predicate (reference lib/sequence_error.py:47-53:
+    # hamming == threshold AND count[a] >= 2*count[b]-1; we generalize the
+    # distance test to <= threshold over SimHash bits — documented
+    # divergence, SURVEY.md §2.5 C1) ---
+    hamming_threshold: int = 3
+    jaccard_threshold: float = 0.5   # MinHash-estimated Jaccard gate (OR'd
+                                     # with the SimHash ball — text token
+                                     # edits diverge SimHash faster than
+                                     # ACGT point errors diverge UMIs)
+
+    # --- substring ("suffix-array") pass: long verbatim overlaps
+    # (analog of the optical-duplicate second detector,
+    # reference lib/optical_duplicates.py). Content-anchored token
+    # windows: shared runs of ~anchor_stride+window tokens are caught. ---
+    substring_window_tokens: int = 24   # tokens per verbatim window
+    substring_anchor_stride: int = 8    # expected gap between anchors
+
+    # --- skew / bucket control ---
+    max_bucket_families: int = 512   # all-pairs cap per LSH bucket
+    salt_buckets: int = 8            # salt factor for hot-key aggregations
+    cc_max_iters: int = 25           # label-propagation fixpoint bound
+
+    # --- estimator selection (reference lib/markdup_sam.py:53-62;
+    # CLI default weighted_average2, reference dedup.py:18) ---
+    algorithm: str = "naive"         # naive|weighted_average|weighted_average2|cluster
+    kmax: int = 10                   # Poisson-mixture max components
+    keyspace_size: int = 2**20       # "unobserved keyspace" |alphabet|^L analog
+                                     # (reference lib/umi_data.py:49-50); config
+                                     # constant because 2^64 is meaningless here
+
+    # --- misc ---
+    seed: int = 42
+    shuffle_partitions: int = 32
+
+    def __post_init__(self) -> None:
+        if self.lsh_bands * self.lsh_rows != self.num_perm:
+            raise ValueError(
+                f"lsh_bands*lsh_rows ({self.lsh_bands}*{self.lsh_rows}) "
+                f"must equal num_perm ({self.num_perm})"
+            )
+
+
+DEFAULT_CONFIG = DedupConfig()

@@ -1,0 +1,78 @@
+"""Connected components / cluster assignment by priority label propagation.
+
+Reference semantics (``lib/sequence_error.py:77-89`` + ``:59-71``): nodes
+are visited in count-descending order; each unvisited node seeds a BFS
+over *directed* edges; a node reachable from several seeds is assigned to
+the cluster whose representative wins the deterministic tie-break.
+
+Equivalence theorem (SURVEY.md §7 "hard parts", proven in
+``tests/test_directional.py`` against the pure-Python oracle): because the
+directional predicate count[a] >= 2*count[b]-1 makes counts non-increasing
+along directed paths (strictly decreasing for counts >= 2), a node n's
+final cluster seed is exactly
+
+    argmax over { m : m ->* n } ∪ {n}  of priority(m),
+    priority = (count desc, tie-break asc)
+
+i.e. the best-priority node that *reaches* n. That is a pure fixpoint —
+no sequential seeding loop — computed here as iterative label propagation
+along directed edges: O(diameter) joins, each followed by
+``localCheckpoint`` to truncate lineage (the Catalyst-inexpressible
+fixpoint loop, SURVEY.md §4). This replaces the reference's mutable
+cross-group result propagation (``lib/markdup_sam.py:196-199``) with
+stateless joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _pack(count_col, tb_col, fam_col):
+    # priority order (count desc, tb asc) == min of struct(-count, tb);
+    # tb (min doc_key per family) is unique, so the order is total.
+    return F.struct(
+        (-count_col).alias("nc"), tb_col.alias("tb"), fam_col.alias("fam")
+    )
+
+
+def propagate_labels(
+    nodes: DataFrame, edges: DataFrame, max_iters: int = 25
+) -> tuple[DataFrame, int]:
+    """Fixpoint: label(n) = best-priority node among {m: m ->* n} ∪ {n}.
+
+    nodes: (fam, fam_count, fam_tb). edges: directed (src, dst).
+    Returns (labels, iterations): labels = (fam, cluster_id) where
+    cluster_id is the seed family's norm_hash.
+    """
+    labels = nodes.select(
+        F.col("fam"),
+        _pack(F.col("fam_count"), F.col("fam_tb"), F.col("fam")).alias("lbl"),
+    ).localCheckpoint(eager=True)
+
+    iters = 0
+    for _ in range(max_iters):
+        iters += 1
+        incoming = (
+            edges.join(labels, edges.src == labels.fam)
+            .select(F.col("dst").alias("fam"), F.col("lbl"))
+        )
+        new_labels = (
+            labels.unionByName(incoming)
+            .groupBy("fam")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "fam")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select("fam", F.col("lbl.fam").alias("cluster_id")), iters

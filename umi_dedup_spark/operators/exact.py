@@ -1,0 +1,69 @@
+"""Exact-duplicate pass — graft analog of the reference's optical-duplicate
+detector (``lib/optical_duplicates.py``, ``lib/markdup_sam.py:165-176``):
+a second, cheaper duplicate detector that runs *before* the main near-dup
+pass, whose survivors (families) are what the near-dup stage clusters,
+with family sizes playing the role of per-UMI read counts
+(``lib/markdup_sam.py:134-136``).
+
+Pure DataFrame ops: one shuffle (groupBy norm_hash), map-side partial
+aggregation free via Catalyst; no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from umi_dedup_spark.config import DedupConfig
+from umi_dedup_spark.functions.text import normalize_text, quality_score, usable_filter
+
+
+def prepare_docs(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Filter usable pages and derive normalization + identity columns.
+
+    Adds: doc_key (64-bit id), norm_text, norm_hash, quality.
+    The raw ``text`` column is untouched (byte-identical invariant per url).
+    At 10^12-doc scale doc_key should be a persisted ingest-time id; the
+    xxhash64(url) stand-in has ~n^2/2^64 collision odds (documented).
+    """
+    usable = pages.filter(usable_filter(F.col("text"), cfg.min_text_chars))
+    return (
+        usable.withColumn(
+            "doc_key",
+            F.col("doc_id").cast("long")
+            if "doc_id" in pages.columns
+            else F.xxhash64(F.col("url")),
+        )
+        .withColumn(
+            "norm_text", normalize_text(F.col("text"), cfg.lowercase, cfg.collapse_whitespace)
+        )
+        .withColumn("norm_hash", F.xxhash64(F.col("norm_text")))
+        .withColumn("quality", quality_score(F.col("text")))
+    )
+
+
+def exact_families(docs: DataFrame) -> DataFrame:
+    """Collapse exact duplicates into families keyed by ``norm_hash``.
+
+    Returns one row per family:
+      norm_hash (family id), fam_count (analog of UMI read count),
+      fam_tb (min doc_key — deterministic tie-break key),
+      rep text columns of the representative member (sampled; all members
+      share norm_text by construction).
+    """
+    return docs.groupBy("norm_hash").agg(
+        F.count(F.lit(1)).alias("fam_count"),
+        F.min("doc_key").alias("fam_tb"),
+        F.first("norm_text").alias("norm_text"),
+    )
+
+
+def mark_exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Per-doc exact-dup flag: within each norm_hash family keep the best
+    (quality desc, doc_key asc) member — survivor selection exactly as
+    reference E6 (``lib/umi_data.py:137-146``: lowest-quality records are
+    the duplicates)."""
+    w = Window.partitionBy("norm_hash").orderBy(F.desc("quality"), F.asc("doc_key"))
+    return docs.withColumn("exact_rank", F.row_number().over(w)).withColumn(
+        "is_exact_duplicate", F.col("exact_rank") > 1
+    )

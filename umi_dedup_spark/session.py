@@ -1,0 +1,46 @@
+"""SparkSession factory: Arrow on, AQE on, skew-join on.
+
+Local mode stands in for the multi-executor cluster; partitioning choices
+below are made for the cluster case (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "umi_dedup_spark",
+    parallelism: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for the dedup pipeline.
+
+    parallelism=None -> ``local[$SPARK_GRAFT_CPUS]`` (default all cores).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = f"local[{parallelism if parallelism is not None else cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if parallelism is None else max(parallelism, 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,174 @@
+"""Deterministic synthetic Common-Crawl-style pages corpus (FIXTURES.md F1).
+
+Schema per BASELINE.json input_hint:
+    url:string, warc_ts:timestamp, html:binary, text:string, lang:string
+
+Planted duplicate families with known ground truth (FIXTURES.md F1):
+  1. exact copies               -> exact-hash pass
+  2. token-edit near-dups       -> MinHash/LSH pass
+  3. count-skewed families      -> directional rule + count-ordered seeding
+     (analog of UMI count chains, reference lib/sequence_error.py:53,83)
+  4. long-verbatim-overlap      -> substring ("suffix-array") pass
+  5. hot-band boilerplate       -> skew / salting exercise
+  6. singletons                 -> negatives
+
+All generation is seeded — same args, same corpus, byte for byte.
+``truth`` maps url -> ground-truth cluster key (None for singletons).
+"""
+
+from __future__ import annotations
+
+import datetime
+import random
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+VOCAB = [
+    "data", "table", "query", "spark", "shuffle", "join", "filter", "scan",
+    "batch", "stream", "window", "group", "sort", "merge", "hash", "value",
+    "count", "index", "column", "row", "page", "crawl", "web", "text",
+    "engine", "cluster", "node", "edge", "graph", "label", "band", "bucket",
+]
+
+EPOCH = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+
+
+@dataclass
+class SynthCorpus:
+    rows: list[dict] = field(default_factory=list)
+    truth: dict[str, str | None] = field(default_factory=dict)
+
+    def to_pandas(self) -> pd.DataFrame:
+        return pd.DataFrame(self.rows)
+
+    def to_spark(self, spark):
+        pdf = self.to_pandas()
+        return spark.createDataFrame(
+            pdf, schema="url string, warc_ts timestamp, html binary, text string, lang string"
+        )
+
+    def truth_pairs(self) -> set[tuple[str, str]]:
+        """Ground-truth same-cluster url pairs (canonical src<dst)."""
+        by_key: dict[str, list[str]] = {}
+        for url, key in self.truth.items():
+            if key is not None:
+                by_key.setdefault(key, []).append(url)
+        pairs = set()
+        for urls in by_key.values():
+            urls = sorted(urls)
+            for i in range(len(urls)):
+                for j in range(i + 1, len(urls)):
+                    pairs.add((urls[i], urls[j]))
+        return pairs
+
+
+def _sentence(rng: random.Random, n: int) -> str:
+    return " ".join(rng.choice(VOCAB) for _ in range(n))
+
+
+def _doc(rng: random.Random, n_tokens: int) -> str:
+    return _sentence(rng, n_tokens)
+
+
+def _perturb_tokens(rng: random.Random, text: str, n_edits: int) -> str:
+    """Edit n_edits token positions, guaranteeing each edit changes the
+    token (so variants are genuinely distinct texts — the planted truth
+    depends on exact-family multiplicities like 9/5/3 staying separate)."""
+    toks = text.split()
+    for _ in range(n_edits):
+        i = rng.randrange(len(toks))
+        choices = [w for w in VOCAB if w != toks[i]]
+        toks[i] = rng.choice(choices)
+    return " ".join(toks)
+
+
+def make_pages(
+    n_docs: int = 200,
+    seed: int = 42,
+    doc_tokens: int = 120,
+    hot_band_size: int = 0,
+) -> SynthCorpus:
+    """Build a corpus of ~n_docs pages with planted duplicate families."""
+    rng = random.Random(seed)
+    corpus = SynthCorpus()
+    i = 0
+
+    def add(text: str, key: str | None, lang: str = "en"):
+        nonlocal i
+        url = f"https://site{i % 17}.example/p/{i}"
+        ts = EPOCH + datetime.timedelta(seconds=i * 37)
+        html = f"<html><body>{text}</body></html>".encode()
+        corpus.rows.append(
+            {"url": url, "warc_ts": ts, "html": html, "text": text, "lang": lang}
+        )
+        corpus.truth[url] = key
+        i += 1
+
+    n_exact = max(2, n_docs // 10)
+    n_near = max(2, n_docs // 10)
+    n_skew = max(0, n_docs // 20)
+    n_sub = max(2, n_docs // 20)
+
+    # 1. exact-copy families (pairs/triples, identical text distinct url)
+    f = 0
+    while f < n_exact:
+        base = _doc(rng, doc_tokens)
+        fam = rng.choice((2, 3))
+        for _ in range(fam):
+            add(base, f"exact{f}")
+        f += 1
+
+    # 2. token-edit near-dup families (k edits << shingle count)
+    f = 0
+    while f < n_near:
+        base = _doc(rng, doc_tokens)
+        add(base, f"near{f}")
+        for _ in range(rng.choice((1, 2))):
+            add(_perturb_tokens(rng, base, rng.randint(1, 3)), f"near{f}")
+        f += 1
+
+    # 3. count-skewed family: exact-copy multiplicities 9/5/3 on a
+    #    hamming-chain of variants (directional rule: 9>=2*5-1, 5>=2*3-1)
+    for f in range(n_skew):
+        base = _doc(rng, doc_tokens)
+        v1 = _perturb_tokens(rng, base, 1)
+        v2 = _perturb_tokens(rng, v1, 1)
+        for text, mult in ((base, 9), (v1, 5), (v2, 3)):
+            for _ in range(mult):
+                add(text, f"skew{f}")
+
+    # 4. long-verbatim-overlap: distinct docs sharing a long substring
+    for f in range(n_sub):
+        shared = _doc(rng, 80)  # ~400+ chars shared verbatim
+        for _ in range(2):
+            add(f"{_doc(rng, 40)} {shared} {_doc(rng, 40)}", f"sub{f}")
+
+    # 5. hot band: many docs sharing boilerplate + tiny unique tail
+    for j in range(hot_band_size):
+        boiler = "page not found error the requested resource is gone " * 5
+        add(f"{boiler} ref {j} {_sentence(rng, 3)}", "hot0")
+
+    # 6. singletons
+    while i < n_docs:
+        add(_doc(rng, doc_tokens), None, lang=rng.choice(("en", "fr", "es", "de", "zh")))
+
+    return corpus
+
+
+def documents_to_pages(df):
+    """Adapter: driver testdata ``documents`` table -> pages shape.
+
+    documents(doc_id,text,lang,source,n_chars) -> url/warc_ts/html/text/lang,
+    keeping doc_id. url <- "doc://{source}/{doc_id}" (unique, deterministic).
+    """
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.concat(F.lit("doc://"), F.col("source"), F.lit("/"), F.col("doc_id").cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 37).alias("warc_ts"),
+        F.encode(F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")), "UTF-8").alias("html"),
+        "text",
+        "lang",
+        "doc_id",
+    )
