@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]:
+  * flagship_dedup  — full near-dup clustering pipeline on `documents`
+  * exact_dedup     — exact-hash family pass + survivor window (SQL)
+  * minhash_sketch  — relational MinHash kernel (SQL)
+  * ngram_jaccard   — bucketed token-set-similarity self-join (SQL)
+  * ann_topk        — brute-force cosine top-k over `embeddings`
+  * synth_dedup_50k — pipeline over a 50k-doc JVM-synthesized corpus
+                      (the throughput number quoted as docs/sec)
+
+Scaling evidence (north rule, N vs 4N): run `python BENCH/run_scaling.py`,
+which executes the synth_dedup workload in fresh subprocesses at
+SPARK_GRAFT_CPUS=8 and =32 and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def run_bench(sf_dir: str, cpus: str, synth_docs: int = 50_000, only: str | None = None):
+    import __spark_entry__ as entry_mod
+    from umi_dedup_spark.config import DedupConfig
+    from umi_dedup_spark.plans.pipeline import DedupPipeline
+    from umi_dedup_spark.session import get_spark
+    from umi_dedup_spark.synth import spark_synth_pages
+
+    spark = get_spark("bench", shuffle_partitions=max(int(cpus) if cpus.isdigit() else 32, 8))
+    queries: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name, fn):
+        if only and name != only:
+            return
+        t0 = time.time()
+        n = fn()
+        dt = time.time() - t0
+        queries[name] = round(dt, 3)
+        if n is not None:
+            extra[f"{name}_rows"] = n
+
+    q = entry_mod.queries()
+
+    timed("flagship_dedup", lambda: q["flagship_dedup_pipeline"](spark, sf_dir).count())
+    timed("exact_dedup", lambda: q["exact_dedup_mark"](spark, sf_dir).count())
+    timed("minhash_sketch", lambda: q["minhash_sketch"](spark, sf_dir).count())
+    timed("ngram_jaccard", lambda: q["ngram_jaccard_pairs"](spark, sf_dir).count())
+    timed("ann_topk", lambda: q["ann_cosine_topk"](spark, sf_dir).count())
+
+    def synth_run():
+        pages = spark_synth_pages(spark, synth_docs)
+        res = DedupPipeline(spark, DedupConfig()).run(pages)
+        return res.marked.count()
+
+    timed(f"synth_dedup_{synth_docs // 1000}k", synth_run)
+    synth_key = f"synth_dedup_{synth_docs // 1000}k"
+    if synth_key in queries:
+        extra["synth_docs_per_sec"] = round(synth_docs / queries[synth_key], 1)
+
+    return {
+        "metric": "near-dup clustering throughput (docs/sec) + headline query latencies",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1] if "sf" in sf_dir else sf_dir,
+        **extra,
+        "cpus": cpus,
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    synth_docs = int(os.environ.get("BENCH_SYNTH_DOCS", "50000"))
+    only = sys.argv[1] if len(sys.argv) > 1 else None
+    print(json.dumps(run_bench(sf_dir, cpus, synth_docs, only)))

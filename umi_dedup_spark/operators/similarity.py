@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns (training-data-pipeline op).
+
+Two paths:
+* :func:`brute_force_topk` — exact cosine top-k, all JVM-side
+  (``zip_with`` + ``aggregate`` higher-order functions, no Python):
+  the correctness baseline. Cross join is broadcast on the (small)
+  query side; cost O(|queries| * |corpus|) — fine for verification,
+  not the scale path.
+* :func:`lsh_bucketed_topk` — random-hyperplane (SimHash-for-vectors)
+  LSH: each vector hashed to ``n_tables`` bucket keys; candidates are
+  corpus vectors sharing a bucket; exact cosine re-ranking within the
+  candidate set only. Scale path: shuffle is bounded by bucket sizes,
+  and the hyperplane matrix is a broadcast constant.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a, b):
+    """JVM-side cosine similarity of two array<float> columns."""
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def brute_force_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (self excluded)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def make_hyperplane_udf(dim: int, n_bits: int, n_tables: int, seed: int):
+    """pandas_udf: embedding -> array of n_tables bucket keys (long).
+
+    Each table t uses n_bits random hyperplanes; key = packed sign bits,
+    salted with the table index.
+    """
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_tables, n_bits, dim)).astype(np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            x = np.asarray(v, dtype=np.float64)
+            keys = []
+            for t in range(n_tables):
+                bits = (planes[t] @ x) > 0
+                # pack sign bits -> int key (n_bits <= 56), salt with table id
+                key = 0
+                for i, b in enumerate(bits):
+                    if b:
+                        key |= 1 << i
+                keys.append((t << 56) | key)
+            out.append(keys)
+        return pd.Series(out)
+
+    return bucket_udf
+
+
+def lsh_bucketed_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 10,
+    dim: int | None = None, n_bits: int = 12, n_tables: int = 4, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: hyperplane-LSH candidate generation + exact
+    cosine re-rank within shared buckets."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    udf = make_hyperplane_udf(dim, n_bits, n_tables, seed)
+
+    def bucketize(df, idn, vn):
+        return df.select(
+            F.col(id_col).alias(idn), F.col(vec_col).alias(vn),
+            F.explode(udf(F.col(vec_col))).alias("bucket"),
+        )
+
+    qb = bucketize(queries, "query_id", "qv")
+    cb = bucketize(corpus, "neighbor_id", "cv")
+    cand = (
+        qb.join(cb, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -156,6 +156,46 @@ def make_pages(
     return corpus
 
 
+def spark_synth_pages(spark, n_docs: int, seed: int = 42, doc_tokens: int = 120):
+    """Distributed deterministic corpus generator — text synthesized
+    entirely JVM-side (range -> sequence/transform/xxhash64), so bench
+    corpora of millions of docs never bottleneck on the driver.
+
+    Planted structure (deterministic in i):
+      * i % 10 in {0,1}  -> exact-dup pair (both share base floor(i/10)*10)
+      * i % 10 in {2,3,4}-> near-dup triple of base i-(i%10)+2 with one
+                            token edited per variant
+      * else             -> singleton
+    """
+    from pyspark.sql import functions as F
+
+    vocab = F.array(*[F.lit(w) for w in VOCAB for _ in (0,)])
+    nv = len(VOCAB)
+    df = spark.range(n_docs).select(F.col("id").alias("i"))
+    m = F.col("i") % 10
+    base = (
+        F.when(m < 2, (F.col("i") / 10).cast("long") * 10)
+        .when(m < 5, F.col("i") - m + 2)
+        .otherwise(F.col("i"))
+    )
+    edit_pos = F.when((m >= 2) & (m < 5), F.pmod(F.col("i"), F.lit(doc_tokens)) + 1).otherwise(F.lit(-1))
+    is_variant = (m >= 3) & (m < 5)  # m==2 is the family base text
+
+    def tok(j):
+        normal = F.element_at(vocab, (F.pmod(F.xxhash64(base, j, F.lit(seed)), F.lit(nv)) + 1).cast("int"))
+        edited = F.element_at(vocab, (F.pmod(F.xxhash64(F.col("i"), j, F.lit(seed + 1)), F.lit(nv)) + 1).cast("int"))
+        return F.when(is_variant & (j == edit_pos), edited).otherwise(normal)
+
+    text = F.array_join(F.transform(F.sequence(F.lit(1), F.lit(doc_tokens)), tok), " ")
+    return df.select(
+        F.concat(F.lit("https://bench.example/p/"), F.col("i")).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("i")).alias("warc_ts"),
+        F.encode(F.concat(F.lit("<html><body>"), text, F.lit("</body></html>")), "UTF-8").alias("html"),
+        text.alias("text"),
+        F.lit("en").alias("lang"),
+    )
+
+
 def documents_to_pages(df):
     """Adapter: driver testdata ``documents`` table -> pages shape.
 
