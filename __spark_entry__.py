@@ -309,6 +309,30 @@ SELECT count(DISTINCT {fam}) AS distinct_families, count(*) AS total_docs,
 FROM documents"""
 
 
+def q_position_histogram(d: str) -> str:
+    """G6 per-position token histogram (reference extract_umi.py:21,29):
+    frequency of each token at each of the first 8 positions."""
+    toks = _toks(d, "text")
+    if d == "s":
+        return f"""
+SELECT pos, token, count(*) AS n FROM (
+  SELECT posexplode(slice({toks}, 1, 8)) AS (pos, token) FROM documents
+) t GROUP BY pos, token"""
+    return f"""
+SELECT i - 1 AS pos, tk[i] AS token, count(*) AS n
+FROM (SELECT {toks} AS tk FROM documents) t,
+     UNNEST(generate_series(1, least(len(tk), 8))) AS u(i)
+GROUP BY 1, 2"""
+
+
+def q_first_token_frequency(d: str) -> str:
+    """UMI-prefix frequency analog (reference extract_umi.py stderr
+    matrix): distribution of the leading token."""
+    toks = _toks(d, "text")
+    first = f"element_at({toks}, 1)" if d == "s" else f"({toks})[1]"
+    return f"SELECT {first} AS first_token, count(*) AS n FROM documents GROUP BY 1"
+
+
 SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "exact_dedup_families": q_exact_dedup_families,
     "exact_dedup_mark": q_exact_dedup_mark,
@@ -324,6 +348,8 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "category_counts": q_category_counts,
     "source_lang_entropy": q_source_lang_entropy,
     "library_counts": q_library_counts,
+    "position_histogram": q_position_histogram,
+    "first_token_frequency": q_first_token_frequency,
 }
 
 

@@ -75,6 +75,23 @@ def write_table(
     return n
 
 
+def write_frequency_table(df: DataFrame, path: str) -> None:
+    """S6 (reference ``make_frequency_table.py:25``): emit the fingerprint
+    frequency table as tab-separated ``key \\t count`` — the graft of the
+    UMI table format (``lib/umi_data.py:105-119``)."""
+    df.select("norm_hash", "fam_count").write.mode("overwrite").option(
+        "sep", "\t"
+    ).csv(path)
+
+
+def read_frequency_table(spark: SparkSession, path: str) -> DataFrame:
+    """S5: parse ``key \\t count`` lines into a frequency DataFrame;
+    malformed/short lines tolerated (dropped), mirroring the reference's
+    lenient parse (``lib/umi_data.py:105-119``)."""
+    df = spark.read.option("sep", "\t").schema("norm_hash long, fam_count long").csv(path)
+    return df.filter("norm_hash is not null and fam_count is not null")
+
+
 def stage_complete(path: str) -> bool:
     """True iff a previous run finished writing this stage (resume check)."""
     mf = os.path.join(path, MANIFEST_NAME)

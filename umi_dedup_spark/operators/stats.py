@@ -77,6 +77,34 @@ def cluster_entropy(clustered_fams: DataFrame) -> DataFrame:
     return counts.select("cluster_id", ent.alias("entropy"))
 
 
+def aggregate_metric_logs(runs: list[tuple[str, DataFrame]]) -> DataFrame:
+    """S7/J3 (reference ``aggregate_logs.py:16-40``): align per-run metric
+    vectors into one matrix — union of (run, category, n) rows pivoted to
+    one column per run, joined on the category field."""
+    tagged = None
+    for name, df in runs:
+        t = df.withColumn("run", F.lit(name))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    return (
+        tagged.groupBy("category")
+        .pivot("run", [name for name, _ in runs])
+        .agg(F.first("n"))
+        .orderBy("category")
+    )
+
+
+def position_histogram(docs: DataFrame, text_col: str = "text", max_pos: int = 8) -> DataFrame:
+    """G6 (reference ``extract_umi.py:21,29``): per-position token
+    histogram over the first ``max_pos`` token positions — posexplode +
+    two-key groupBy, all JVM-side."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    return (
+        docs.select(F.posexplode(F.slice(toks, 1, max_pos)).alias("pos", "token"))
+        .groupBy("pos", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def lambert_w0(x: float, eps: float = 1e-9, max_iter: int = 200) -> float:
     """Principal branch of the Lambert W function by Newton's method —
     solves w * e^w = x. Valid for x >= -1/e."""
