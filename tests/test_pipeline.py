@@ -102,7 +102,7 @@ def test_byte_identical_text(result, spark, corpus):
 def test_idempotence(spark, corpus, result):
     # dedup(survivors) finds nothing new to merge: every cluster is a singleton
     survivors = result.marked.filter(~F.col("is_duplicate")).select(
-        "url", "warc_ts", "html", "text", "lang"
+        "url", "warc_ts", "text", "lang"
     )
     res2 = DedupPipeline(spark, CFG).run(survivors)
     n = survivors.count()

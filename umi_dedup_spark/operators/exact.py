@@ -27,6 +27,11 @@ def prepare_docs(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
     xxhash64(url) stand-in has ~n^2/2^64 collision odds (documented).
     """
     usable = pages.filter(usable_filter(F.col("text"), cfg.min_text_chars))
+    # drop wide payload columns (html binary) immediately: every later
+    # stage/checkpoint shuffles only what it needs (Catalyst prunes scans,
+    # but explicit projection keeps checkpoints/shuffles narrow too)
+    keep = [c for c in pages.columns if c != "html"]
+    usable = usable.select(*keep)
     return (
         usable.withColumn(
             "doc_key",
