@@ -333,6 +333,15 @@ def q_first_token_frequency(d: str) -> str:
     return f"SELECT {first} AS first_token, count(*) AS n FROM documents GROUP BY 1"
 
 
+def q_source_parse(d: str) -> str:
+    """P11 analog (reference lib/parse_sam.py:41-43 get_coords): parse the
+    structured source id into its numeric coordinate and aggregate."""
+    return """
+SELECT cast(regexp_extract(source, '([0-9]+)$', 1) AS bigint) AS src_num,
+       count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM documents GROUP BY 1"""
+
+
 SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "exact_dedup_families": q_exact_dedup_families,
     "exact_dedup_mark": q_exact_dedup_mark,
@@ -350,6 +359,7 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "library_counts": q_library_counts,
     "position_histogram": q_position_histogram,
     "first_token_frequency": q_first_token_frequency,
+    "source_parse": q_source_parse,
 }
 
 

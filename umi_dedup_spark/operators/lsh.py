@@ -55,8 +55,11 @@ def candidate_pairs(
     bucket_size) — surfaced, never silently dropped.
     """
     bucket = ["band_id", "band_hash"]
-    sizes = banded.groupBy(*bucket).agg(F.count(F.lit(1)).alias("bucket_size"))
-    sized = banded.join(sizes, bucket)
+    # bucket size via window count: ONE exchange on the bucket key, shared
+    # by the small (all-pairs join) and big (star+chain) branches, instead
+    # of a groupBy + join-back (two exchanges of the banded rows)
+    wb = Window.partitionBy(*bucket)
+    sized = banded.withColumn("bucket_size", F.count(F.lit(1)).over(wb))
 
     small = sized.filter(
         (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.max_bucket_families)
