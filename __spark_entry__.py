@@ -333,6 +333,92 @@ def q_first_token_frequency(d: str) -> str:
     return f"SELECT {first} AS first_token, count(*) AS n FROM documents GROUP BY 1"
 
 
+def _shingled_docs(d: str) -> str:
+    """Shared subquery: doc_id + distinct 5-token shingle hash list."""
+    toks = _toks(d, _norm(d, "text"))
+    n = _len(d, "tk")
+    starts = _seq(d, "1", f"greatest({n} - 4, 1)")
+    sh = _slice_join(d, "tk", "i", 5)
+    mk = _transform(d, starts, f"i -> {sh}")
+    hv = _h64(d, "s")
+    hashed = _distinct(d, _transform(d, mk, f"s -> {hv} % {P31}"))
+    return f"""(SELECT doc_id, {hashed} AS sh
+  FROM (SELECT doc_id, {toks} AS tk FROM documents) tq)"""
+
+
+def q_minhash_lsh_pairs(d: str) -> str:
+    """The MinHash+LSH dedup path expressed relationally: 8 permutations,
+    4 bands x 2 rows; docs sharing any band bucket become candidates;
+    candidates verified by true shingle-set Jaccard >= 0.4. The SQL mirror
+    of operators/lsh.py + the Jaccard verification of directional.py."""
+    amin = "array_min" if d == "s" else "list_min"
+    A = (1103515245, 1566083941, 747796405, 22695477, 69069, 1103515245 + 2, 48271, 16807)
+    B = (12345, 654321, 2891336453, 1, 362437, 54321, 7, 11)
+    mins = ", ".join(
+        f"{amin}({_transform(d, 'sh', f's -> ({a} * s + {b}) % {P31}')}) AS m{j}"
+        for j, (a, b) in enumerate(zip(A, B))
+    )
+    strtype = "string" if d == "s" else "varchar"
+    bands = ", ".join(
+        f"concat(cast(m{2 * t} AS {strtype}), '_', cast(m{2 * t + 1} AS {strtype})) AS band{t}"
+        for t in range(4)
+    )
+    band_match = " OR ".join(f"a.band{t} = b.band{t}" for t in range(4))
+    inter = _len(d, _intersect(d, "a.sh", "b.sh"))
+    na, nb = _len(d, "a.sh"), _len(d, "b.sh")
+    return f"""
+SELECT a_id, b_id, round(jac, 4) AS jaccard FROM (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         cast({inter} AS double) / ({na} + {nb} - {inter}) AS jac
+  FROM (SELECT doc_id, sh, {bands} FROM (SELECT doc_id, sh, {mins} FROM {_shingled_docs(d)} s0) s1) a
+  JOIN (SELECT doc_id, sh, {bands} FROM (SELECT doc_id, sh, {mins} FROM {_shingled_docs(d)} s0) s1) b
+    ON a.doc_id < b.doc_id AND ({band_match})
+) p WHERE jac >= cast(0.4 AS double)"""
+
+
+def q_simhash16(d: str) -> str:
+    """16-bit SimHash fingerprint in pure SQL: per bit, majority vote of
+    the shingle-hash bits (the relational mirror of the 64-bit pandas-UDF
+    kernel in functions/hashing.py)."""
+    shift = (lambda j: f"(shiftright(s, {j}) & 1)") if d == "s" else (
+        lambda j: f"((s >> {j}) & 1)"
+    )
+    ns = _len(d, "sh")
+    bits = " + ".join(
+        f"(CASE WHEN 2 * {_len(d, _filter(d, 'sh', f's -> {shift(j)} = 1'))} > {ns} THEN {1 << j} ELSE 0 END)"
+        for j in range(16)
+    )
+    return f"""
+SELECT doc_id, {bits} AS simhash16 FROM {_shingled_docs(d)} s0"""
+
+
+def q_cosine_topk(d: str) -> str:
+    """Deterministic brute-force cosine top-3 per query vector (first 20
+    vec_ids), rank on (rounded cosine desc, neighbor asc)."""
+    if d == "s":
+        dot = ("aggregate(zip_with(a.v, b.v, (x, y) -> cast(x as double) * cast(y as double)),"
+               " cast(0.0 as double), (acc, z) -> acc + z)")
+        nrm = lambda s: (f"sqrt(aggregate(zip_with({s}.v, {s}.v, (x, y) -> cast(x as double) * cast(y as double)),"
+                         " cast(0.0 as double), (acc, z) -> acc + z))")
+        vcol = "embedding"
+    else:
+        dot = "list_dot_product(a.v, b.v)"
+        nrm = lambda s: f"sqrt(list_dot_product({s}.v, {s}.v))"
+        vcol = "embedding::DOUBLE[]"
+    return f"""
+SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+  FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           round({dot} / ({nrm('a')} * {nrm('b')}), 6) AS cos_sim
+    FROM (SELECT vec_id, {vcol} AS v FROM embeddings WHERE vec_id < 20) a
+    JOIN (SELECT vec_id, {vcol} AS v FROM embeddings) b ON a.vec_id != b.vec_id
+  ) s
+) r WHERE rnk <= 3"""
+
+
 def q_source_parse(d: str) -> str:
     """P11 analog (reference lib/parse_sam.py:41-43 get_coords): parse the
     structured source id into its numeric coordinate and aggregate."""
@@ -360,6 +446,9 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "position_histogram": q_position_histogram,
     "first_token_frequency": q_first_token_frequency,
     "source_parse": q_source_parse,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash16": q_simhash16,
+    "cosine_topk": q_cosine_topk,
 }
 
 
