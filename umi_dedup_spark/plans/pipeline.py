@@ -118,7 +118,7 @@ class DedupPipeline:
 
         fams = timed(
             "families",
-            lambda: exact_families(docs).withColumn(
+            lambda: exact_families(docs, cfg).withColumn(
                 "fp",
                 make_fingerprint_udf(cfg.shingle_k, cfg.num_perm, cfg.seed)(
                     F.col("norm_text")
