@@ -51,6 +51,8 @@ def main():
         "scaling_efficiency_8_to_32": round(eff, 3),
         "target": 0.8,
     }
+    stage8 = r8.get("synth_stage_times", {})
+    stage32 = r32.get("synth_stage_times", {})
     md = f"""# BENCH baseline — scaling evidence (N vs 4N)
 
 Same input (JVM-synthesized deterministic corpus, {DOCS:,} docs, seed 42),
@@ -64,6 +66,14 @@ for N and 4N executors (no real cluster in this sandbox; see BASELINE.md).
 
 **Scaling efficiency** = throughput(32) / (4 x throughput(8)) =
 **{eff:.3f}** (target >= 0.8).
+
+Per-stage wall seconds:
+
+| stage | local[8] | local[32] |
+|---|---|---|
+""" + "\n".join(
+        f"| {k} | {stage8.get(k, '-')} | {stage32.get(k, '-')} |" for k in stage8
+    ) + f"""
 
 Raw: `{json.dumps(summary)}`
 """

@@ -154,9 +154,18 @@ class DedupPipeline:
         )
 
         def build_labels():
+            # fixpoint working set = families touched by >= 1 edge only;
+            # untouched families (the vast majority of a web corpus) never
+            # enter the loop — cluster_table() self-assigns them (C9
+            # single-UMI shortcut, reference lib/sequence_error.py:131-132)
+            touched = (
+                edges.select(F.col("src").alias("fam"))
+                .unionByName(edges.select(F.col("dst").alias("fam")))
+                .distinct()
+            )
             nodes = fams.select(
                 F.col("norm_hash").alias("fam"), "fam_count", "fam_tb"
-            )
+            ).join(touched, "fam", "left_semi")
             labels, iters = propagate_labels(nodes, edges, cfg.cc_max_iters)
             self.cc_iterations = iters
             return labels
