@@ -31,15 +31,19 @@ def test_shingle_order_sensitivity():
     assert set(a.tolist()) != set(b.tolist())
 
 
-def test_minhash_signature_bounds_and_determinism():
+def test_minhash_signature_determinism_and_seed_sensitivity():
     h = shingle_hashes("spark near duplicate detection at web scale", 2)
     s1 = minhash_signature(h, 64, seed=42)
     s2 = minhash_signature(h, 64, seed=42)
     assert np.array_equal(s1, s2)
-    assert s1.dtype == np.int32
-    assert (s1 >= 0).all() and (s1 < int(MERSENNE31)).all()
+    assert s1.dtype == np.int64 and len(s1) == 64
     s3 = minhash_signature(h, 64, seed=43)
     assert not np.array_equal(s1, s3)
+    # permutation property: signature of a superset is elementwise <= of
+    # the subset's (mins can only decrease)
+    h2 = np.concatenate([h, shingle_hashes("more content here too", 2)])
+    s4 = minhash_signature(np.unique(h2), 64, seed=42)
+    assert (s4 <= s1).all()
 
 
 def test_minhash_jaccard_estimate():

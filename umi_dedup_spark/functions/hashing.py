@@ -13,11 +13,11 @@ Hash functions:
   batch, C speed), combined per shingle with a vectorized uint64
   polynomial — deterministic across runs/processes (unlike Python
   ``hash``). At cluster scale one would swap in xxhash64; semantics equal.
-* MinHash permutations: h_i(x) = (a_i*x + b_i) mod p with p = 2^31-1
-  (Mersenne). Keeping the permutation space at 31 bits makes a_i*x fit
-  exactly in uint64 (fully vectorized, no bigint fallback) and signature
-  values fit int32 — and the same arithmetic is expressible in ANSI SQL
-  for the DuckDB correctness oracle.
+* MinHash permutations: h_i(x) = (a_i * x) mod 2^64 with seeded odd a_i —
+  a bijection of the 64-bit space, so per-permutation argmin is a valid
+  MinHash, at one wrapped int64 multiply per element (numpy-fast). The
+  SQL-oracle queries use an independent md5/mod-(2^31-1) family computed
+  identically in both engines, so cross-engine parity is unaffected.
 """
 
 from __future__ import annotations
@@ -71,25 +71,27 @@ def shingle_hashes(text: str, k: int, _cache: dict | None = None) -> np.ndarray:
 
 
 @lru_cache(maxsize=8)
-def minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
-    """Seeded (a, b) permutation parameters for h_i(x) = (a_i*x+b_i) mod p."""
+def minhash_params(num_perm: int, seed: int) -> np.ndarray:
+    """Seeded odd int64 multipliers. h_i(x) = (a_i * x) mod 2^64 with odd
+    a_i is a bijection of the 64-bit space, so argmin under it is a valid
+    MinHash permutation — and it costs ONE wrapped multiply per element.
+    (The classic (a*x+b) mod (2^31-1) family needs ~10 vector passes per
+    multiply in numpy, and this build's uint64 kernels are 20-170x slower
+    than int64, so signed wrapping multiply is the fast exact choice.)"""
     rng = np.random.RandomState(seed)
-    p = int(MERSENNE31)
-    a = rng.randint(1, p, size=num_perm).astype(np.uint64)
-    b = rng.randint(0, p, size=num_perm).astype(np.uint64)
-    return a, b
+    a = (rng.randint(-(2**62), 2**62, size=num_perm).astype(np.int64) << 1) | 1
+    return a
 
 
 def minhash_signature(hashes: np.ndarray, num_perm: int, seed: int) -> np.ndarray:
-    """MinHash signature (int32[num_perm]) of a set of uint64 shingle hashes.
-
-    sig_i = min over shingles x of (a_i * (x mod p) + b_i) mod p, p = 2^31-1.
-    a*x <= (2^31)^2 < 2^64, so the arithmetic is exact in uint64.
-    """
-    a, b = minhash_params(num_perm, seed)
-    x = (hashes % MERSENNE31)[:, None]  # (n, 1) uint64
-    vals = (x * a[None, :] + b[None, :]) % MERSENNE31  # (n, num_perm)
-    return np.min(vals, axis=0).astype(np.int32)
+    """MinHash signature (int64[num_perm]) of a set of uint64 shingle
+    hashes: sig_i = min over shingles x of (a_i * x mod 2^64), compared as
+    signed int64 (any fixed total order over a bijection works)."""
+    a = minhash_params(num_perm, seed)
+    x = np.ascontiguousarray(hashes).view(np.int64)[:, None]
+    with np.errstate(over="ignore"):
+        vals = x * a[None, :]
+    return vals.min(axis=0)
 
 
 def simhash64(hashes: np.ndarray) -> int:
@@ -107,14 +109,56 @@ def simhash64(hashes: np.ndarray) -> int:
 def _fingerprint_batch(
     texts: pd.Series, k: int, num_perm: int, seed: int
 ) -> tuple[list[np.ndarray], np.ndarray]:
+    """Batch kernel, vectorized ACROSS rows: all rows' shingle hashes are
+    flattened into one array and the permutation mins / bit votes are
+    computed with segment reductions (minimum.reduceat / add.reduceat)
+    over row boundaries — per-row numpy-call overhead was the dominant
+    cost of the per-row formulation (~0.6 ms/row; ~20x less this way).
+    Permutations are processed in groups of 8 to bound the (n_shingles x
+    perms) intermediate to tens of MB per Arrow batch.
+    """
     cache: dict = {}
-    sigs: list[np.ndarray] = []
-    sims = np.empty(len(texts), dtype=np.int64)
-    for idx, t in enumerate(texts):
-        h = shingle_hashes(t if isinstance(t, str) else "", k, cache)
-        sigs.append(minhash_signature(h, num_perm, seed))
-        sims[idx] = simhash64(h)
-    return sigs, sims
+    rows = [
+        shingle_hashes(t if isinstance(t, str) else "", k, cache) for t in texts
+    ]
+    n = len(rows)
+    if n == 0:
+        return [], np.empty(0, dtype=np.int64)
+    lens = np.fromiter((len(r) for r in rows), dtype=np.int64, count=n)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    flat = np.concatenate(rows)
+
+    # --- MinHash: sig[r, i] = min over row r's shingles of (a_i * x)
+    # wrapped in int64 — one multiply + one segment-min per permutation.
+    x = flat.view(np.int64)
+    a = minhash_params(num_perm, seed)
+    sig = np.empty((n, num_perm), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for j0 in range(0, num_perm, 8):
+            j1 = min(j0 + 8, num_perm)
+            y = x[:, None] * a[None, j0:j1]
+            sig[:, j0:j1] = np.minimum.reduceat(y, starts, axis=0)
+
+    # --- SimHash: per row, per bit, majority vote over shingle bits.
+    # int64 halves view + 64 fast 1D segment-reductions (a single 2D
+    # reduceat over an (n_shingles x 64) matrix allocates ~0.5GB and is
+    # ~100x slower).
+    halves = flat.view(np.uint32).astype(np.int64)
+    lo, hi = halves[0::2], halves[1::2]
+    votes = np.empty((64, n), dtype=np.int64)
+    for j in range(64):
+        src = lo if j < 32 else hi
+        col = (src >> np.int64(j % 32)) & np.int64(1)
+        votes[j] = np.add.reduceat(col, starts)
+    ones = (2 * votes) > lens[None, :]
+    sims = np.zeros(n, dtype=np.int64)
+    for j in range(63):
+        sims += ones[j].astype(np.int64) << np.int64(j)
+    # bit 63 flips the sign in two's complement: subtract 2^63 via int64 min
+    sims = np.where(ones[63], sims + np.int64(-(2**63)), sims)
+
+    return list(sig), sims
 
 
 def make_fingerprint_udf(k: int, num_perm: int, seed: int):
@@ -124,7 +168,7 @@ def make_fingerprint_udf(k: int, num_perm: int, seed: int):
     """
     schema = T.StructType(
         [
-            T.StructField("minhash", T.ArrayType(T.IntegerType())),
+            T.StructField("minhash", T.ArrayType(T.LongType())),
             T.StructField("simhash", T.LongType()),
         ]
     )
@@ -138,9 +182,9 @@ def make_fingerprint_udf(k: int, num_perm: int, seed: int):
 
 
 def make_minhash_udf(k: int, num_perm: int, seed: int):
-    """pandas_udf: text -> array<int> MinHash signature."""
+    """pandas_udf: text -> array<long> MinHash signature."""
 
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    @F.pandas_udf(T.ArrayType(T.LongType()))
     def minhash_udf(texts: pd.Series) -> pd.Series:
         sigs, _ = _fingerprint_batch(texts, k, num_perm, seed)
         return pd.Series(sigs)

@@ -42,13 +42,20 @@ def add_window_hashes(fams: DataFrame, cfg: DedupConfig) -> DataFrame:
     probability. All JVM-side (split/sequence/transform/filter/xxhash64).
     """
     T, s = cfg.substring_window_tokens, cfg.substring_anchor_stride
-    # Materialize the token array ONCE as a real column before any
-    # per-position lambda touches it. Referencing split(...) inside
-    # filter/transform lambda bodies makes Catalyst re-evaluate the split
-    # per array element — O(n_tokens^2) string work per document
-    # (measured 89s for the 500k-doc stage; ~7s after this rewrite).
-    # CollapseProject would re-inline the split through stacked selects;
-    # the nondeterministic `_b` column is a deliberate collapse barrier.
+    # Materialize the token array (and per-token hashes) ONCE as real
+    # columns before any per-position lambda touches them. Referencing
+    # split(...) inside lambda bodies makes Catalyst re-evaluate the split
+    # per array element — O(n_tokens^2) string work per document (measured
+    # 89s for the 500k-doc stage). CollapseProject would re-inline the
+    # expressions through stacked selects; the nondeterministic `_b`
+    # columns are deliberate collapse barriers.
+    #
+    # Anchor selection is WINNOWING (argmin of each s-length hash window,
+    # leftmost tie-break): guarantees >= 1 anchor in every s consecutive
+    # positions regardless of content — a plain hash%s==0 rule finds NO
+    # anchor in low-diversity boilerplate (e.g. a 9-distinct-token error
+    # page), silently missing exactly the hot near-dup families. A shared
+    # verbatim run of >= s+T tokens is caught deterministically.
     toked = fams.select(
         "norm_hash",
         "fam_count",
@@ -57,27 +64,39 @@ def add_window_hashes(fams: DataFrame, cfg: DedupConfig) -> DataFrame:
         F.rand(42).alias("_b"),
     )
     tk = F.col("tk")
-    # anchor indexes: positions whose token hash is 0 mod stride
-    # (two-arg transform gives (element, index) — tokens hashed exactly once)
-    anchored = toked.select(
+    hashed = toked.select(
         "norm_hash",
         "fam_count",
         "fam_tb",
         "tk",
-        F.filter(
-            F.transform(
-                tk,
-                lambda t, i: F.when(
-                    (F.pmod(F.xxhash64(t), F.lit(s)) == 0)
-                    & (i <= F.size(tk) - T), i + 1
-                ).otherwise(F.lit(-1)),
-            ),
-            lambda i: i > 0,
-        ).alias("anchors"),
+        F.transform(tk, lambda t: F.xxhash64(t)).alias("th"),
         F.rand(43).alias("_b"),
     )
+    th = F.col("th")
+    n = F.size(tk)
+    # argmin (hash, pos) over each window of s positions; anchors = the
+    # distinct argmin positions that can host a full T-token window
+    win_argmin = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (T - 1), F.lit(1))),
+        lambda i: F.array_min(
+            F.transform(
+                F.sequence(i, F.least(i + (s - 1), n)),
+                lambda j: F.struct(
+                    F.element_at(th, j).alias("h"), j.alias("p")
+                ),
+            )
+        )["p"],
+    )
+    anchored = hashed.select(
+        "norm_hash",
+        "fam_count",
+        "fam_tb",
+        "tk",
+        F.array_distinct(win_argmin).alias("anchors"),
+        F.rand(44).alias("_b"),
+    )
     wins = F.transform(
-        F.col("anchors"),
+        F.filter(F.col("anchors"), lambda a: a <= F.size(tk) - (T - 1)),
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tk, i, T))),
     )
     return (

@@ -36,8 +36,18 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "64g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Arrow batch cap bounds per-python-worker peak memory in the
+        # fingerprint kernels (vectorized-across-rows numpy temporaries)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # /tmp is janitored in some sandboxes mid-run (observed: blockmgr
+        # dir vanishing under a long job); keep shuffle/cache scratch in a
+        # repo-local dir instead
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_LOCAL_DIRS", "/root/repo/.spark-local"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
