@@ -76,6 +76,18 @@ Per-stage wall seconds:
     ) + f"""
 
 Raw: `{json.dumps(summary)}`
+
+## Measurement caveats (single shared VM)
+
+This sandbox VM's memory subsystem throughput varies by up to ~80x
+between measurement windows (a fixed 10M-element numpy int64 multiply
+was observed at 0.03s and at 2.5s on an *idle* box hours apart —
+hypervisor/neighbor contention). Absolute docs/sec and the 8-vs-32
+efficiency ratio are both sensitive to which window a leg lands in;
+legs are run back-to-back to minimize skew, but cross-run comparisons
+of this file's numbers are only meaningful within one generation stamp.
+The structural scale analysis (what shuffles, what stays JVM-side, how
+hot keys are bounded) is in README.md and NOTES.md.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)

@@ -73,31 +73,54 @@ def add_window_hashes(fams: DataFrame, cfg: DedupConfig) -> DataFrame:
         F.rand(43).alias("_b"),
     )
     th = F.col("th")
-    n = F.size(tk)
-    # argmin (hash, pos) over each window of s positions; anchors = the
-    # distinct argmin positions that can host a full T-token window
-    win_argmin = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (T - 1), F.lit(1))),
-        lambda i: F.array_min(
-            F.transform(
-                F.sequence(i, F.least(i + (s - 1), n)),
-                lambda j: F.struct(
-                    F.element_at(th, j).alias("h"), j.alias("p")
-                ),
-            )
-        )["p"],
-    )
-    anchored = hashed.select(
+    # sliding-window minimum by doubling: m[i] = min(th[i .. i+s-1]) in
+    # O(log s) whole-array passes (concat/slice/zip_with) — NO
+    # per-position lambda slices (an argmin-per-window formulation
+    # allocates O(n*s) structs per row and was measured ~10x slower).
+    INF = (1 << 63) - 1
+    m = th
+    w = 1
+    while w < s:
+        step = min(w, s - w)
+        shifted = F.concat(
+            F.slice(m, step + 1, F.greatest(F.size(m) - step, F.lit(1))),
+            F.array_repeat(F.lit(INF), step),
+        )
+        m = F.zip_with(m, shifted, lambda a_, b_: F.least(a_, b_))
+        w += step
+    minned = hashed.select(
         "norm_hash",
         "fam_count",
         "fam_tb",
         "tk",
-        F.array_distinct(win_argmin).alias("anchors"),
+        "th",
+        m.alias("wmin"),
         F.rand(44).alias("_b"),
     )
+    # anchor = position whose own hash equals its forward-window min
+    # (leftmost min of the window starting there). For iid token hashes an
+    # anchor occurs every ~s positions; for constant/boilerplate runs
+    # EVERY position anchors — content cannot suppress anchors.
+    is_anchor = F.zip_with(
+        F.col("th"), F.col("wmin"), lambda a_, b_: (a_ == b_).cast("int")
+    )
+    anchors = F.filter(
+        F.transform(
+            is_anchor, lambda e, i: F.when(e == 1, i + 1).otherwise(F.lit(-1))
+        ),
+        lambda x: (x > 0) & (x <= F.size(F.col("tk")) - (T - 1)),
+    )
+    anchored = minned.select(
+        "norm_hash",
+        "fam_count",
+        "fam_tb",
+        "tk",
+        anchors.alias("anchors"),
+        F.rand(45).alias("_b"),
+    )
     wins = F.transform(
-        F.filter(F.col("anchors"), lambda a: a <= F.size(tk) - (T - 1)),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tk, i, T))),
+        F.col("anchors"),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("tk"), i, T))),
     )
     return (
         anchored.filter(F.size(tk) >= T)
