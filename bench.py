@@ -80,6 +80,9 @@ def run_bench(sf_dir: str, cpus: str, synth_docs: int = 50_000, only: str | None
 if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    synth_docs = int(os.environ.get("BENCH_SYNTH_DOCS", "50000"))
+    # default sized so the harness completes even when the shared VM's
+    # memory throughput is in a degraded window (see BENCH/BASELINE.md
+    # caveats); raise via env for scaling runs
+    synth_docs = int(os.environ.get("BENCH_SYNTH_DOCS", "20000"))
     only = sys.argv[1] if len(sys.argv) > 1 else None
     print(json.dumps(run_bench(sf_dir, cpus, synth_docs, only)))
