@@ -278,8 +278,8 @@ def q_category_counts(d: str) -> str:
     fam = _h64(d, _norm(d, "text"))
     return f"""
 SELECT lang,
-       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_representative,
-       sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_duplicate
+       cast(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS bigint) AS n_representative,
+       cast(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS bigint) AS n_duplicate
 FROM (
   SELECT lang, row_number() OVER (PARTITION BY {fam}
          ORDER BY n_chars DESC, doc_id ASC) AS rn
@@ -305,7 +305,7 @@ def q_library_counts(d: str) -> str:
     fam = _h64(d, _norm(d, "text"))
     return f"""
 SELECT count(DISTINCT {fam}) AS distinct_families, count(*) AS total_docs,
-       sum(CASE WHEN length(text) >= 8 THEN 1 ELSE 0 END) AS usable_docs
+       cast(sum(CASE WHEN length(text) >= 8 THEN 1 ELSE 0 END) AS bigint) AS usable_docs
 FROM documents"""
 
 
@@ -424,7 +424,7 @@ def q_source_parse(d: str) -> str:
     structured source id into its numeric coordinate and aggregate."""
     return """
 SELECT cast(regexp_extract(source, '([0-9]+)$', 1) AS bigint) AS src_num,
-       count(*) AS n_docs, sum(n_chars) AS total_chars
+       count(*) AS n_docs, cast(sum(n_chars) AS bigint) AS total_chars
 FROM documents GROUP BY 1"""
 
 
