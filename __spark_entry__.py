@@ -363,16 +363,26 @@ def q_minhash_lsh_pairs(d: str) -> str:
         f"concat(cast(m{2 * t} AS {strtype}), '_', cast(m{2 * t + 1} AS {strtype})) AS band{t}"
         for t in range(4)
     )
-    band_match = " OR ".join(f"a.band{t} = b.band{t}" for t in range(4))
-    inter = _len(d, _intersect(d, "a.sh", "b.sh"))
-    na, nb = _len(d, "a.sh"), _len(d, "b.sh")
+    # Union of per-band EQUI-joins (shuffle-on-band-key, the scalable LSH
+    # shape) instead of a single OR-of-band-equalities join, which has no
+    # equi-key and degenerates to a nested-loop O(n^2) compare.
+    band_joins = " UNION ALL ".join(
+        f"""SELECT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM sigs a JOIN sigs b ON a.band{t} = b.band{t} AND a.doc_id < b.doc_id"""
+        for t in range(4)
+    )
+    inter = _len(d, _intersect(d, "sa.sh", "sb.sh"))
+    na, nb = _len(d, "sa.sh"), _len(d, "sb.sh")
     return f"""
+WITH shingled AS (SELECT doc_id, sh FROM {_shingled_docs(d)} s0),
+sigs AS (SELECT doc_id, {bands} FROM (SELECT doc_id, {mins} FROM shingled) s1),
+cand AS (SELECT DISTINCT a_id, b_id FROM ({band_joins}) u)
 SELECT a_id, b_id, round(jac, 4) AS jaccard FROM (
-  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+  SELECT c.a_id, c.b_id,
          cast({inter} AS double) / ({na} + {nb} - {inter}) AS jac
-  FROM (SELECT doc_id, sh, {bands} FROM (SELECT doc_id, sh, {mins} FROM {_shingled_docs(d)} s0) s1) a
-  JOIN (SELECT doc_id, sh, {bands} FROM (SELECT doc_id, sh, {mins} FROM {_shingled_docs(d)} s0) s1) b
-    ON a.doc_id < b.doc_id AND ({band_match})
+  FROM cand c
+  JOIN shingled sa ON sa.doc_id = c.a_id
+  JOIN shingled sb ON sb.doc_id = c.b_id
 ) p WHERE jac >= cast(0.4 AS double)"""
 
 

@@ -37,10 +37,24 @@ def setup(spark):
 
     # family table straight from the pipeline's docs stage (same doc_key /
     # norm_hash derivation), fingerprints recomputed with the *same*
-    # python kernels the UDFs use
-    fam_rows = res.clusters.select(
-        "norm_hash", "fam_count", "fam_tb", "norm_text", "cluster_id"
-    ).collect()
+    # python kernels the UDFs use. The engine no longer caches norm_text on
+    # the family table (text-sized columns stay out of shuffles/caches), so
+    # rebuild the norm_hash -> norm_text map from the pages directly.
+    from umi_dedup_spark.functions.text import normalize_text
+
+    norm = normalize_text(F.col("text"), CFG.lowercase, CFG.collapse_whitespace)
+    norm_map = {
+        r["nh"]: r["nt"]
+        for r in pages.select(
+            F.xxhash64(norm).alias("nh"), norm.alias("nt")
+        ).distinct().collect()
+    }
+    fam_rows = [
+        {**r.asDict(), "norm_text": norm_map[r["norm_hash"]]}
+        for r in res.clusters.select(
+            "norm_hash", "fam_count", "fam_tb", "cluster_id"
+        ).collect()
+    ]
     return corpus, res, fam_rows
 
 

@@ -26,6 +26,61 @@ from umi_dedup_spark.config import DedupConfig
 MANIFEST_NAME = "_manifest.json"
 
 
+def _has_scheme(path: str) -> bool:
+    return "://" in path
+
+
+def _hadoop_fs_path(spark: SparkSession, dir_path: str, name: str):
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(dir_path, name)
+    return path.getFileSystem(conf), path
+
+
+def _write_manifest(spark: SparkSession, dir_path: str, manifest: dict) -> None:
+    """Manifest IO routed through the Hadoop filesystem API for URI paths
+    (s3://, hdfs://, ...) so checkpoint/resume works on shared cluster
+    storage, not just the driver's local disk; plain open() for bare local
+    paths."""
+    content = json.dumps(manifest, indent=1)
+    if _has_scheme(dir_path):
+        fs, path = _hadoop_fs_path(spark, dir_path, MANIFEST_NAME)
+        out = fs.create(path, True)
+        out.write(bytearray(content.encode("utf-8")))
+        out.close()
+    else:
+        with open(os.path.join(dir_path, MANIFEST_NAME), "w") as f:
+            f.write(content)
+
+
+def _read_manifest_text(dir_path: str) -> str | None:
+    if _has_scheme(dir_path):
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return None
+        fs, path = _hadoop_fs_path(spark, dir_path, MANIFEST_NAME)
+        if not fs.exists(path):
+            return None
+        stream = fs.open(path)
+        try:
+            reader = spark._jvm.java.io.BufferedReader(
+                spark._jvm.java.io.InputStreamReader(stream, "UTF-8")
+            )
+            lines = []
+            line = reader.readLine()
+            while line is not None:
+                lines.append(line)
+                line = reader.readLine()
+            return "\n".join(lines)
+        finally:
+            stream.close()
+    mf = os.path.join(dir_path, MANIFEST_NAME)
+    if not os.path.exists(mf):
+        return None
+    with open(mf) as f:
+        return f.read()
+
+
 def _iceberg_available(spark: SparkSession) -> bool:
     try:
         return bool(spark.conf.get("spark.sql.catalog.dedup", None))
@@ -70,8 +125,7 @@ def write_table(
         "config": asdict(config) if config else None,
         "extra": extra or {},
     }
-    with open(os.path.join(path_or_tbl, MANIFEST_NAME), "w") as f:
-        json.dump(manifest, f, indent=1)
+    _write_manifest(spark, path_or_tbl, manifest)
     return n
 
 
@@ -92,21 +146,23 @@ def read_frequency_table(spark: SparkSession, path: str) -> DataFrame:
     return df.filter("norm_hash is not null and fam_count is not null")
 
 
-def stage_complete(path: str) -> bool:
-    """True iff a previous run finished writing this stage (resume check)."""
-    mf = os.path.join(path, MANIFEST_NAME)
-    if not os.path.exists(mf):
-        return False
+def stage_complete(path: str, config: DedupConfig | None = None) -> bool:
+    """True iff a previous run finished writing this stage (resume check)
+    AND — when ``config`` is given — it was written under the *same*
+    config. A checkpoint written under different shingle/signature/
+    threshold settings is stale (different docs/families/pairs) and must
+    be recomputed, never silently mixed into this run's output."""
     try:
-        with open(mf) as f:
-            return bool(json.load(f).get("complete"))
+        manifest = read_manifest(path)
     except Exception:
         return False
+    if not manifest or not manifest.get("complete"):
+        return False
+    if config is not None:
+        return manifest.get("config") == asdict(config)
+    return True
 
 
 def read_manifest(path: str) -> dict[str, Any] | None:
-    mf = os.path.join(path, MANIFEST_NAME)
-    if not os.path.exists(mf):
-        return None
-    with open(mf) as f:
-        return json.load(f)
+    text = _read_manifest_text(path)
+    return json.loads(text) if text is not None else None

@@ -37,6 +37,13 @@ def _pack(count_col, tb_col, fam_col):
     )
 
 
+class CCNotConverged(RuntimeError):
+    """Label propagation hit max_iters with labels still changing —
+    the graft analog of the reference's drained-state hard assert
+    (``lib/markdup_sam.py:208-212``): never silently emit inconsistent
+    clusters."""
+
+
 def propagate_labels(
     nodes: DataFrame, edges: DataFrame, max_iters: int = 25
 ) -> tuple[DataFrame, int]:
@@ -45,6 +52,17 @@ def propagate_labels(
     nodes: (fam, fam_count, fam_tb). edges: directed (src, dst).
     Returns (labels, iterations): labels = (fam, cluster_id) where
     cluster_id is the seed family's norm_hash.
+
+    Convergence is O(log diameter), not O(diameter): each round combines
+    (a) one edge hop (neighbor labels) with (b) pointer doubling — every
+    node also adopts the label of its current label's node,
+    lbl(n) <- min(lbl(n), lbl(lbl(n).fam)). Soundness: lbl(n).fam always
+    *reaches* n (edges preserve it by definition; for doubling, if m
+    reaches n and p reaches m then p reaches n), so the accelerated
+    fixpoint equals the plain edge-hop fixpoint — a chain of length d
+    converges in ~log2(d) rounds instead of d. Raises
+    :class:`CCNotConverged` if max_iters rounds were not enough
+    (2^max_iters-hop reach — unreachable in practice).
     """
     labels = nodes.select(
         F.col("fam"),
@@ -52,14 +70,22 @@ def propagate_labels(
     ).localCheckpoint(eager=True)
 
     iters = 0
+    converged = False
     for _ in range(max_iters):
         iters += 1
         incoming = (
             edges.join(labels, edges.src == labels.fam)
             .select(F.col("dst").alias("fam"), F.col("lbl"))
         )
+        # pointer doubling: adopt the label of the node my label points at
+        doubled = (
+            labels.alias("x")
+            .join(labels.alias("y"), F.col("x.lbl.fam") == F.col("y.fam"))
+            .select(F.col("x.fam").alias("fam"), F.col("y.lbl").alias("lbl"))
+        )
         new_labels = (
             labels.unionByName(incoming)
+            .unionByName(doubled)
             .groupBy("fam")
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint(eager=True)
@@ -73,6 +99,11 @@ def propagate_labels(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
 
+    if not converged:
+        raise CCNotConverged(
+            f"label propagation did not converge in {max_iters} iterations"
+        )
     return labels.select("fam", F.col("lbl.fam").alias("cluster_id")), iters

@@ -204,6 +204,169 @@ ESTIMATORS = {
 }
 
 
+# ------------------------------------------------- histogram-native path
+# The Spark integration feeds the estimators the (count_value, n_families)
+# histogram instead of one row per family: a hot cluster with 10^9
+# families of 3 distinct sizes is 3 histogram rows, not 10^9 pandas rows
+# in one Python worker. These functions are exactly equivalent to their
+# per-copy counterparts above (property-tested in test_estimators).
+
+def estimate_from_hist(
+    values: np.ndarray, mults: np.ndarray, keyspace: int,
+    algorithm: str = "naive", kmax: int = 10,
+) -> int:
+    """Estimator dispatch over a count histogram (values all > 0)."""
+    values = np.asarray(values, dtype=np.int64)
+    mults = np.asarray(mults, dtype=np.int64)
+    n_obs = int(mults.sum())
+    total = int((values * mults).sum())
+    if algorithm == "naive":
+        return n_obs
+    if algorithm == "weighted_average":
+        c0 = keyspace - n_obs
+        c1 = int(mults[values == 1].sum())
+        if c0 + c1 == 0:
+            return n_obs
+        return int(round((c0 * n_obs + c1 * total) / (c0 + c1)))
+    # weighted_average2 / cluster already operate on a frequency table
+    # internally — expand-free: rebuild their Counter from the histogram
+    freq = Counter({int(v): int(m) for v, m in zip(values, mults) if m > 0})
+    if algorithm == "weighted_average2":
+        n_umi = keyspace
+        freq[0] = n_umi - n_obs
+        vals = sorted(freq)
+        weighted = 0.0
+        for ci, fi in freq.items():
+            n_seen = trunc_sum = 0
+            for cj in vals:
+                if cj > ci:
+                    break
+                n_seen += freq[cj]
+                trunc_sum += cj * freq[cj]
+            trunc_sum += (ci + 1) * (n_umi - n_seen)
+            weighted += fi * trunc_sum
+        return int(round(weighted / n_umi))
+    if algorithm == "cluster":
+        if n_obs == 0:
+            return 0
+        naive = n_obs
+        if int(values.max(initial=0)) == 1:
+            return naive
+        freq[0] = keyspace - naive
+        obs = np.array(sorted(freq), dtype=np.float64)
+        fr = np.array([freq[int(o)] for o in obs], dtype=np.float64)
+        if len(obs) <= 2:
+            return naive
+        fits = [
+            _fit_poisson_mixture(fr, obs, k)
+            for k in range(1, min(kmax, len(obs)) + 1)
+        ]
+        pi, lam, _ = min(fits, key=lambda t: t[2])
+        rank = np.argsort(lam)
+        logp = _poisson_log_pmf(obs, lam) + np.log(np.maximum(pi, 1e-300))[None, :]
+        assign = logp.argmax(axis=1)
+        est = 0.0
+        for i in range(len(obs)):
+            if obs[i] == 0:
+                continue
+            est += float(rank[assign[i]]) * fr[i]
+        return int(min(max(round(est), naive), total))
+    raise ValueError(f"unknown algorithm {algorithm!r}")
+
+
+def apportion_hist(
+    values: np.ndarray, mults: np.ndarray, target: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Histogram-native apportionment, equivalent to running
+    :func:`apportion` over the expanded per-family vector (values[i]
+    repeated mults[i] times) — but in O(n_values log n_values) instead of
+    O(n_families), so one hot cluster never expands in memory.
+
+    Returns (keep_base, n_extra) per histogram row: ``n_extra`` families
+    of that count value receive ``keep_base + 1`` survivors, the remaining
+    ``mults - n_extra`` receive ``keep_base``. Which concrete families get
+    the +1 is the caller's deterministic choice (the reference's own
+    tie-break is set-iteration order, i.e. arbitrary — SURVEY.md §2.6).
+
+    Exactness argument: per-copy apportion bumps argmin-residual (shrinks
+    argmax) one copy at a time; copies sharing a count value share their
+    residual, so bumps round-robin across a value's copies level by level
+    (each bump raises only that copy's residual by 1). Simulating per
+    (value, level) batches with a heap keyed by the level-residual
+    reproduces the exact multiset of per-copy results; only the ordering
+    among *equal-residual distinct values* differs, which per-copy
+    np.argmin resolved by arbitrary input order anyway (documented
+    deterministic variant: value-ascending tie-break).
+    """
+    import heapq
+
+    values = np.asarray(values, dtype=np.int64)
+    mults = np.asarray(mults, dtype=np.int64)
+    if np.any(values <= 0) or np.any(mults <= 0):
+        raise ValueError("histogram rows must have value > 0 and mult > 0")
+    n_fams = int(mults.sum())
+    total = int((values * mults).sum())
+    if not (n_fams <= target <= total):
+        raise ValueError(f"target {target} outside [{n_fams}, {total}]")
+
+    ideal = values * (target / total)
+    base = np.array(
+        [1 if 0 < x < 1 else int(round(x)) for x in ideal], dtype=np.int64
+    )
+    residual = base - ideal
+    gap = target - int((base * mults).sum())
+    bumps = np.zeros_like(mults)   # total +1s given to value i's copies
+    shrinks = np.zeros_like(mults)  # total -1s
+
+    if gap > 0:
+        # cost of the next bump for value i = residual + (bumps // mults)
+        heap = [(float(residual[i]), int(values[i]), i) for i in range(len(values))]
+        heapq.heapify(heap)
+        while gap > 0:
+            _, _, i = heapq.heappop(heap)
+            avail = int(mults[i] - bumps[i] % mults[i])
+            take = min(avail, gap)
+            bumps[i] += take
+            gap -= take
+            heapq.heappush(
+                heap, (float(residual[i] + bumps[i] // mults[i]), int(values[i]), i)
+            )
+    elif gap < 0:
+        # only copies with result > 1 may shrink; value i allows up to
+        # (base[i] - 1) shrinks per copy. Max-residual first.
+        heap = [
+            (-float(residual[i]), int(values[i]), i)
+            for i in range(len(values))
+            if base[i] >= 2
+        ]
+        heapq.heapify(heap)
+        while gap < 0:
+            if not heap:
+                raise ValueError("cannot shrink below 1 per family")
+            _, _, i = heapq.heappop(heap)
+            level = int(shrinks[i] // mults[i])
+            if level >= int(base[i]) - 1:
+                continue  # every copy of this value is already at 1
+            avail = int(mults[i] - shrinks[i] % mults[i])
+            take = min(avail, -gap)
+            shrinks[i] += take
+            gap += take
+            if int(shrinks[i] // mults[i]) < int(base[i]) - 1 or shrinks[i] % mults[i]:
+                heapq.heappush(
+                    heap,
+                    (-float(residual[i] - shrinks[i] // mults[i]), int(values[i]), i),
+                )
+
+    keep_base = base + bumps // mults - shrinks // mults
+    n_extra = bumps % mults
+    rem_shrink = shrinks % mults
+    # a partial shrink level: rem_shrink copies sit one BELOW keep_base
+    keep_base = np.where(rem_shrink > 0, keep_base - 1, keep_base)
+    n_extra = np.where(rem_shrink > 0, mults - rem_shrink, n_extra)
+    assert int((keep_base * mults + n_extra).sum()) == target
+    return keep_base.astype(np.int64), n_extra.astype(np.int64)
+
+
 def deduplicate_counts(
     counts: np.ndarray, keyspace: int, algorithm: str = "naive", kmax: int = 10
 ) -> np.ndarray:
@@ -227,22 +390,51 @@ def cluster_survivor_counts(
     keyspace: int,
     kmax: int = 10,
 ) -> DataFrame:
-    """Per-cluster estimator via applyInPandas: input one row per family
-    (cluster_id, norm_hash, fam_count); output adds n_keep per family.
+    """Per-cluster estimator, histogram-native: the pandas group handed to
+    a Python worker is the (cluster_id, fam_count, n_fams) HISTOGRAM —
+    group size = number of distinct count values, never the number of
+    families, so one hot cluster with 10^9 families cannot pin a single
+    Python worker or blow its memory.
 
-    Shuffle on cluster_id only; each group is a few rows (families per
-    cluster), so the pandas path is trivially bounded.
+    Plan shape: groupBy(cluster_id, fam_count) pre-aggregation (map-side
+    combine) -> applyInPandas over the tiny histogram -> join the
+    (keep_base, n_extra) spec back to families; the n_extra families of a
+    (cluster, value) that receive the +1 are chosen deterministically by
+    (fam_tb asc, norm_hash asc) rank (the reference's own choice is
+    set-iteration order, i.e. arbitrary — documented variant).
     """
+    from pyspark.sql import Window
+
+    hist = clustered_fams.groupBy("cluster_id", "fam_count").agg(
+        F.count(F.lit(1)).alias("n_fams")
+    )
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = deduplicate_counts(
-            pdf["fam_count"].to_numpy(), keyspace, algorithm, kmax
-        )
-        return pdf.assign(n_keep=out.astype("int64"))
+        pdf = pdf.sort_values("fam_count").reset_index(drop=True)
+        values = pdf["fam_count"].to_numpy()
+        mults = pdf["n_fams"].to_numpy()
+        est = estimate_from_hist(values, mults, keyspace, algorithm, kmax)
+        n_fams = int(mults.sum())
+        total = int((values * mults).sum())
+        target = int(min(max(est, n_fams), total))
+        base, extra = apportion_hist(values, mults, target)
+        return pdf.assign(keep_base=base.astype("int64"), n_extra=extra.astype("int64"))
 
-    schema = "cluster_id long, norm_hash long, fam_count long, n_keep long"
+    spec = hist.groupBy("cluster_id").applyInPandas(
+        run,
+        schema="cluster_id long, fam_count long, n_fams long, keep_base long, n_extra long",
+    )
+    w = Window.partitionBy("cluster_id", "fam_count").orderBy(
+        F.asc("fam_tb"), F.asc("norm_hash")
+    )
     return (
-        clustered_fams.select("cluster_id", "norm_hash", "fam_count")
-        .groupBy("cluster_id")
-        .applyInPandas(run, schema=schema)
+        clustered_fams.select("cluster_id", "norm_hash", "fam_count", "fam_tb")
+        .join(spec.select("cluster_id", "fam_count", "keep_base", "n_extra"),
+              ["cluster_id", "fam_count"])
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_keep",
+            F.col("keep_base") + (F.col("rn") <= F.col("n_extra")).cast("long"),
+        )
+        .select("cluster_id", "norm_hash", "fam_count", "n_keep")
     )

@@ -11,7 +11,7 @@ aggregation free via Catalyst; no Python.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from umi_dedup_spark.config import DedupConfig
@@ -71,8 +71,20 @@ def mark_exact_duplicates(docs: DataFrame) -> DataFrame:
     """Per-doc exact-dup flag: within each norm_hash family keep the best
     (quality desc, doc_key asc) member — survivor selection exactly as
     reference E6 (``lib/umi_data.py:137-146``: lowest-quality records are
-    the duplicates)."""
-    w = Window.partitionBy("norm_hash").orderBy(F.desc("quality"), F.asc("doc_key"))
-    return docs.withColumn("exact_rank", F.row_number().over(w)).withColumn(
-        "is_exact_duplicate", F.col("exact_rank") > 1
-    )
+    the duplicates).
+
+    Skew-safe rank-1: the survivor is a ``min(struct(-quality, doc_key))``
+    aggregation (map-side partial combine — a billion-copy family reduces
+    to one row per map task) joined back on ``norm_hash``, instead of a
+    ``row_number`` window that would sort the whole hot family inside a
+    single task. Both sides share the norm_hash exchange, and AQE
+    skew-join splitting bounds the residual probe skew.
+    """
+    surv = docs.groupBy("norm_hash").agg(
+        F.min(
+            F.struct((-F.col("quality")).alias("nq"), F.col("doc_key").alias("dk"))
+        ).alias("best")
+    ).select("norm_hash", F.col("best.dk").alias("exact_survivor_key"))
+    return docs.join(surv, "norm_hash").withColumn(
+        "is_exact_duplicate", F.col("doc_key") != F.col("exact_survivor_key")
+    ).drop("exact_survivor_key")

@@ -42,7 +42,7 @@ def add_band_hashes(fams: DataFrame, cfg: DedupConfig) -> DataFrame:
         "fam_count",
         "fam_tb",
         F.posexplode(band_cols).alias("band_id", "band_hash"),
-    )
+    ).withColumn("is_substring", F.lit(False))
 
 
 def candidate_pairs(
@@ -50,9 +50,16 @@ def candidate_pairs(
 ) -> tuple[DataFrame, DataFrame]:
     """Emit canonical candidate pairs (src < dst by norm_hash) per bucket.
 
-    Returns (pairs, overflow_metrics). pairs: distinct (src, dst).
-    overflow_metrics: one row per oversized bucket (band_id, band_hash,
-    bucket_size) — surfaced, never silently dropped.
+    Input rows carry an ``is_substring`` flag (False for LSH bands, True
+    for substring-window buckets — see ``suffix.add_window_hashes``); both
+    flows union into ONE bucket exchange here, and the flag survives onto
+    pairs: a pair is substring-proven iff any emitting bucket was a
+    substring bucket (both members of a bucket share its flag).
+
+    Returns (pairs, overflow_metrics). pairs: distinct
+    (src, dst, is_substring). overflow_metrics: one row per oversized
+    bucket (band_id, band_hash, bucket_size) — surfaced, never silently
+    dropped.
     """
     bucket = ["band_id", "band_hash"]
     # bucket size via window count: ONE exchange on the bucket key, shared
@@ -65,9 +72,13 @@ def candidate_pairs(
         (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.max_bucket_families)
     )
     # all-pairs within small buckets: bucketed self-join (sort-merge/AQE)
-    a = small.select(*bucket, F.col("norm_hash").alias("src"))
+    a = small.select(*bucket, F.col("norm_hash").alias("src"), "is_substring")
     b = small.select(*bucket, F.col("norm_hash").alias("dst"))
-    small_pairs = a.join(b, bucket).filter(F.col("src") < F.col("dst")).select("src", "dst")
+    small_pairs = (
+        a.join(b, bucket)
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst", "is_substring")
+    )
 
     big = sized.filter(F.col("bucket_size") > cfg.max_bucket_families)
     overflow = (
@@ -82,16 +93,30 @@ def candidate_pairs(
     star = (
         ranked.filter(F.col("rn") > 1)
         .join(top, bucket)
-        .select(F.col("hub").alias("src"), F.col("norm_hash").alias("dst"))
+        .select(
+            F.col("hub").alias("src"),
+            F.col("norm_hash").alias("dst"),
+            "is_substring",
+        )
     )
     chain = (
         ranked.withColumn("nxt", F.lead("norm_hash").over(w))
         .filter(F.col("nxt").isNotNull())
-        .select(F.col("norm_hash").alias("src"), F.col("nxt").alias("dst"))
+        .select(
+            F.col("norm_hash").alias("src"),
+            F.col("nxt").alias("dst"),
+            "is_substring",
+        )
     )
     big_pairs = star.unionByName(chain).select(
-        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+        "is_substring",
     ).filter(F.col("src") != F.col("dst"))
 
-    pairs = small_pairs.unionByName(big_pairs).dropDuplicates(["src", "dst"])
+    pairs = (
+        small_pairs.unionByName(big_pairs)
+        .groupBy("src", "dst")
+        .agg(F.max("is_substring").alias("is_substring"))
+    )
     return pairs, overflow

@@ -31,18 +31,25 @@ def cluster_table(fams: DataFrame, labels: DataFrame) -> DataFrame:
 
 
 def cluster_representatives(clustered_fams: DataFrame) -> DataFrame:
-    """C5: representative family per cluster — max fam_count, tie min fam_tb."""
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.desc("fam_count"), F.asc("fam_tb"), F.asc("norm_hash")
-    )
-    return (
-        clustered_fams.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "cluster_id",
-            F.col("norm_hash").alias("rep_norm_hash"),
-            F.col("fam_count").alias("rep_fam_count"),
+    """C5: representative family per cluster — max fam_count, tie min fam_tb.
+
+    Rank-1 as a ``min(struct(...))`` aggregation (map-side combine, no
+    single-task sort over a hot cluster): the ordering key (-fam_count,
+    fam_tb, norm_hash) is total (norm_hash unique), so appending the
+    payload fields to the struct cannot change the comparison.
+    """
+    best = F.min(
+        F.struct(
+            (-F.col("fam_count")).alias("nc"),
+            F.col("fam_tb").alias("tb"),
+            F.col("norm_hash").alias("nh"),
+            F.col("fam_count").alias("cnt"),
         )
+    ).alias("best")
+    return clustered_fams.groupBy("cluster_id").agg(best).select(
+        "cluster_id",
+        F.col("best.nh").alias("rep_norm_hash"),
+        F.col("best.cnt").alias("rep_fam_count"),
     )
 
 
@@ -59,23 +66,50 @@ def mark_survivors(
     estimate applied after ``reduce_clusters``. Histogram estimators
     apportion n_keep per member *family* (partition_cols =
     (cluster_id, norm_hash)), i.e. the bundle = cluster, keys = families.
+
+    The rank-1 case (n_keep_col=None) is a skew-safe agg+join — a hot
+    cluster never becomes one sorting task. The n_keep>1 estimator path
+    keeps a row_number window, but partitioned per *family* where members
+    share identical norm_text (hence identical quality), bounding the sort
+    to one family.
     """
+    if n_keep_col is None:
+        surv = docs_with_cluster.groupBy(*partition_cols).agg(
+            F.min(
+                F.struct(
+                    (-F.col("quality")).alias("nq"), F.col("doc_key").alias("dk")
+                )
+            ).alias("best")
+        ).select(*partition_cols, F.col("best.dk").alias("_surv_key"))
+        return (
+            docs_with_cluster.join(surv, list(partition_cols))
+            .withColumn("is_duplicate", F.col("doc_key") != F.col("_surv_key"))
+            .drop("_surv_key")
+        )
     w = Window.partitionBy(*partition_cols).orderBy(F.desc("quality"), F.asc("doc_key"))
     ranked = docs_with_cluster.withColumn("dup_rank", F.row_number().over(w))
-    keep = F.col(n_keep_col) if n_keep_col else F.lit(1)
-    return ranked.withColumn("is_duplicate", F.col("dup_rank") > keep)
+    return ranked.withColumn("is_duplicate", F.col("dup_rank") > F.col(n_keep_col))
 
 
 def attach_rep_url(marked: DataFrame) -> DataFrame:
     """Broadcast-style map-back: every doc gets the url of its cluster's
-    surviving representative (rank-1 doc). Self-join on cluster_id; the
-    rank-1 side is tiny (<= one row per cluster) — Catalyst/AQE broadcasts
-    it when it fits."""
-    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_key"))
+    surviving representative (best (quality desc, doc_key asc) among the
+    non-duplicates). Rank-1 via ``min_by``-style struct aggregation —
+    map-side combine, no window sort over a hot cluster; the agg output is
+    <= one row per cluster, so Catalyst/AQE broadcasts the join when it
+    fits."""
     reps = (
         marked.filter(~F.col("is_duplicate"))
-        .withColumn("rep_rn", F.row_number().over(w))
-        .filter(F.col("rep_rn") == 1)
-        .select("cluster_id", F.col("url").alias("rep_url"))
+        .groupBy("cluster_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("quality")).alias("nq"),
+                    F.col("doc_key").alias("dk"),
+                    F.col("url").alias("u"),
+                )
+            ).alias("best")
+        )
+        .select("cluster_id", F.col("best.u").alias("rep_url"))
     )
     return marked.join(reps, "cluster_id", "left")

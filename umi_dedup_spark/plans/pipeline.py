@@ -56,7 +56,7 @@ from umi_dedup_spark.operators.stats import (
     library_stats,
     partition_lineage,
 )
-from umi_dedup_spark.operators.suffix import substring_pairs
+from umi_dedup_spark.operators.suffix import with_window_hashes
 
 
 @dataclass
@@ -78,6 +78,10 @@ class DedupPipeline:
         self.cfg = cfg or DedupConfig()
         self.checkpoint_dir = checkpoint_dir
         self.lineage: list[DataFrame] = []
+        # always defined, even on fully-resumed runs (overflow is persisted
+        # as its own checkpoint stage, so resume restores it)
+        self.metrics_overflow: DataFrame | None = None
+        self.cc_iterations: int | None = None
 
     # -- checkpoint helpers -------------------------------------------
     def _ckpt_path(self, stage: str) -> str | None:
@@ -85,23 +89,29 @@ class DedupPipeline:
             return None
         return os.path.join(self.checkpoint_dir, stage)
 
-    def _stage(self, stage: str, df_fn, resume: bool) -> DataFrame:
-        """Run (or resume) a stage; snapshot + lineage when checkpointing."""
+    def _stage(self, stage: str, df_fn, resume: bool, materialize: bool = True) -> DataFrame:
+        """Run (or resume) a stage; snapshot + lineage when checkpointing.
+
+        materialize=False: the stage feeds exactly one downstream consumer
+        — return it lazily (no persist, no eager count) so Spark fuses it
+        into the consumer's job instead of a serial driver barrier. Only
+        applies when no durable checkpoint is requested.
+        """
         path = self._ckpt_path(stage)
-        if path and resume and dio.stage_complete(path):
+        if path and resume and dio.stage_complete(path, self.cfg):
             return dio.read_table(self.spark, path)
         df = df_fn()
         if path:
             dio.write_table(df, path, stage=stage, config=self.cfg)
             df = dio.read_table(self.spark, path)
-        else:
-            # no durable checkpoint requested: materialize once so
-            # downstream stages (and the CC fixpoint loop) never recompute
-            # the fingerprint UDFs / LSH joins. persist() uses Spark's
-            # compressed columnar cache — measured ~5x faster to build
-            # than localCheckpoint's row-oriented block storage; the CC
-            # loop still localCheckpoints its (small) label table to cut
-            # the iterative lineage.
+        elif materialize:
+            # multi-consumer stage: materialize once so downstream stages
+            # (and the CC fixpoint loop) never recompute the fingerprint
+            # UDFs / LSH joins. persist() uses Spark's compressed columnar
+            # cache — measured ~5x faster to build than localCheckpoint's
+            # row-oriented block storage; the CC loop still
+            # localCheckpoints its (small) label table to cut the
+            # iterative lineage.
             df = df.persist()
             df.count()
         self.lineage.append(partition_lineage(df, stage))
@@ -112,45 +122,75 @@ class DedupPipeline:
         cfg = self.cfg
         times: dict[str, float] = {}
 
-        def timed(name, fn):
+        def timed(name, fn, materialize: bool = True):
             t0 = time.time()
-            out = self._stage(name, fn, resume)
+            out = self._stage(name, fn, resume, materialize)
             times[name] = round(time.time() - t0, 3)
             return out
 
         docs = timed("docs", lambda: prepare_docs(pages, cfg))
 
-        fams = timed(
-            "families",
-            lambda: exact_families(docs, cfg).withColumn(
+        def build_families():
+            # fingerprints (Arrow pandas UDF) AND substring window hashes
+            # (JVM winnowing expressions) in ONE projection over norm_text:
+            # the text-sized column is consumed here and never cached or
+            # shuffled — the materialized family row is narrow (two hash
+            # arrays + scalars).
+            withfp = exact_families(docs, cfg).withColumn(
                 "fp",
                 make_fingerprint_udf(cfg.shingle_k, cfg.num_perm, cfg.seed)(
                     F.col("norm_text")
                 ),
             )
-            .select(
+            return with_window_hashes(withfp, cfg).select(
                 "norm_hash",
                 "fam_count",
                 "fam_tb",
-                "norm_text",
                 F.col("fp.minhash").alias("minhash"),
                 F.col("fp.simhash").alias("simhash"),
-            ),
-        )
+                "win_hashes",
+            )
+
+        fams = timed("families", build_families)
 
         def build_pairs():
-            lsh_p, lsh_over = candidate_pairs(add_band_hashes(fams, cfg), cfg)
-            sub_p, sub_over = substring_pairs(fams, cfg)
-            pairs = (
-                lsh_p.withColumn("is_substring", F.lit(False))
-                .unionByName(sub_p.withColumn("is_substring", F.lit(True)))
-                .groupBy("src", "dst")
-                .agg(F.max("is_substring").alias("is_substring"))
+            # LSH band rows and substring window rows share one bucket
+            # exchange: union first, then a single candidate_pairs pass
+            # (one shuffle on (band_id, band_hash), one pair-dedupe agg).
+            banded = add_band_hashes(fams, cfg).unionByName(
+                fams.select(
+                    "norm_hash",
+                    "fam_count",
+                    "fam_tb",
+                    F.explode("win_hashes").alias("band_hash"),
+                ).select(
+                    "norm_hash",
+                    "fam_count",
+                    "fam_tb",
+                    F.lit(1_000_000).alias("band_id"),
+                    "band_hash",
+                    F.lit(True).alias("is_substring"),
+                )
             )
-            self.metrics_overflow = lsh_over.unionByName(sub_over)
+            pairs, overflow = candidate_pairs(banded, cfg)
+            self._overflow_raw = overflow
             return pairs
 
-        pairs = timed("pairs", build_pairs)
+        # pairs feed exactly one consumer (edges): keep lazy so the pair
+        # join fuses into the edges job instead of a serial barrier
+        self._overflow_raw = None
+        pairs = timed("pairs", build_pairs, materialize=False)
+
+        # overflow metrics: persisted as their own checkpoint stage (so a
+        # resumed run restores them even when the pairs stage is skipped);
+        # lazy otherwise — summary() materializes on demand.
+        over_path = self._ckpt_path("pairs_overflow")
+        if over_path and resume and dio.stage_complete(over_path, cfg):
+            self.metrics_overflow = dio.read_table(self.spark, over_path)
+        elif self._overflow_raw is not None:
+            self.metrics_overflow = self._stage(
+                "pairs_overflow", lambda: self._overflow_raw, resume, materialize=False
+            )
 
         edges = timed(
             "edges",
@@ -174,7 +214,9 @@ class DedupPipeline:
             self.cc_iterations = iters
             return labels
 
-        labels = timed("labels", build_labels)
+        # labels are already localCheckpoint'ed inside propagate_labels and
+        # feed exactly one consumer — a second persist would just copy them
+        labels = timed("labels", build_labels, materialize=False)
 
         clustered = timed("clusters", lambda: cluster_table(fams, labels))
 
@@ -212,7 +254,12 @@ class DedupPipeline:
             "categories": cats,
             "library": lib,
             "count_histogram": [(r["count_value"], r["n_keys"]) for r in hist],
-            "cc_iterations": getattr(self, "cc_iterations", None),
+            "cc_iterations": self.cc_iterations,
+            "overflow_buckets": (
+                self.metrics_overflow.count()
+                if self.metrics_overflow is not None
+                else None
+            ),
             "stage_times": result.stage_times,
         }
         result.metrics = out
