@@ -429,6 +429,110 @@ SELECT query_id, neighbor_id, cos_sim, rnk FROM (
 ) r WHERE rnk <= 3"""
 
 
+def q_simhash64(d: str) -> str:
+    """60-bit SimHash relationally (extends the simhash16 technique to the
+    full width of the 60-bit dialect hash): per bit, majority vote of the
+    shingle-hash bits. Oracle-backed mirror of the 64-bit pandas-UDF
+    kernel's logic (functions/hashing.py) — same majority rule, dialect
+    hash instead of xxhash64."""
+    toks = _toks(d, _norm(d, "text"))
+    n = _len(d, "tk")
+    starts = _seq(d, "1", f"greatest({n} - 4, 1)")
+    sh = _slice_join(d, "tk", "i", 5)
+    mk = _transform(d, starts, f"i -> {sh}")
+    hv = _h64(d, "s")
+    hashed = _distinct(d, _transform(d, mk, f"s -> {hv}"))
+    shift = (lambda j: f"(shiftright(s, {j}) & 1)") if d == "s" else (
+        lambda j: f"((s >> {j}) & 1)"
+    )
+    ns = _len(d, "sh")
+    bits = " + ".join(
+        f"(CASE WHEN 2 * {_len(d, _filter(d, 'sh', f's -> {shift(j)} = 1'))} > {ns} THEN cast({1 << j} as bigint) ELSE cast(0 as bigint) END)"
+        for j in range(60)
+    )
+    return f"""
+SELECT doc_id, {bits} AS simhash60 FROM (
+  SELECT doc_id, {hashed} AS sh
+  FROM (SELECT doc_id, {toks} AS tk FROM documents) tq) s0"""
+
+
+def q_substring_overlap_pairs(d: str) -> str:
+    """The substring ("suffix-array") pass expressed relationally with the
+    EXACT winnowing anchor rule of operators/suffix.py: token hashes ->
+    forward sliding min (fwd[j] = min(th[j..j+s-1])) -> anchor(i) iff
+    max(fwd[i-s+1..i]) == th[i] (i is the argmin of some covering window)
+    -> hash the T-token window at each anchor -> pairs sharing any window
+    hash. Dialect h64 replaces xxhash64; T/s mirror DedupConfig defaults
+    (substring_window_tokens=24, substring_anchor_stride=8)."""
+    # Window-function formulation over exploded (doc_id, pos, token_hash)
+    # rows: fwd[j] = min(th) over [j, j+s-1]; anchor(i) iff
+    # max(fwd) over [i-s+1, i] == th[i]. No nested array lambdas — a
+    # lambda-array formulation re-inlines each derived array into every
+    # per-position lambda under CollapseProject (O(n^3+) hash work/doc).
+    T, s = 24, 8
+    toks = _toks(d, _norm(d, "text"))
+    win_hash = _h64(d, _slice_join(d, "t.tk", "a.pos", T))
+    # dialect-shared token hash: the engines' xxhash64/hash differ, so use
+    # the shared md5-based h64 for cross-engine value parity
+    th_expr = _h64(d, "token")
+    if d == "s":
+        posex = ("SELECT doc_id, p.pos + 1 AS pos, "
+                 f"{th_expr} AS th, n_tok "
+                 "FROM toked LATERAL VIEW posexplode(tk) p AS pos, token")
+    else:
+        posex = (f"SELECT doc_id, i AS pos, {_h64(d, 'tk[i]')} AS th, n_tok "
+                 "FROM toked, UNNEST(generate_series(1, len(tk))) AS u(i)")
+    return f"""
+WITH toked AS (SELECT doc_id, {toks} AS tk, {_len(d, toks)} AS n_tok FROM documents),
+posed AS ({posex}),
+fwds AS (SELECT doc_id, pos, th, n_tok,
+         min(th) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND {s - 1} FOLLOWING) AS fwd
+         FROM posed),
+covs AS (SELECT doc_id, pos, th, n_tok,
+         max(fwd) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN {s - 1} PRECEDING AND CURRENT ROW) AS cov
+         FROM fwds),
+anch AS (SELECT doc_id, pos FROM covs WHERE cov = th AND pos <= n_tok - {T - 1}),
+wins AS (SELECT a.doc_id, {win_hash} AS w
+         FROM anch a JOIN toked t ON a.doc_id = t.doc_id)
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+FROM wins a JOIN wins b ON a.w = b.w AND a.doc_id < b.doc_id"""
+
+
+def q_ann_cosine_topk(d: str) -> str:
+    """Deterministic brute-force cosine top-5 for the first 10 vec_ids —
+    the DuckDB oracle for the ANN verification path. The SPARK side of
+    this query is the real operator (operators/similarity.brute_force_topk
+    — zip_with/aggregate JVM expressions + top-k), not this SQL; see
+    _ann_topk below. Both round to 6dp before ranking and break ties on
+    neighbor_id asc."""
+    if d == "s":
+        dot = ("aggregate(zip_with(a.v, b.v, (x, y) -> cast(x as double) * cast(y as double)),"
+               " cast(0.0 as double), (acc, z) -> acc + z)")
+        nrm = lambda t: (f"sqrt(aggregate(zip_with({t}.v, {t}.v, (x, y) -> cast(x as double) * cast(y as double)),"
+                         " cast(0.0 as double), (acc, z) -> acc + z))")
+        vcol = "embedding"
+        rankq = "rank"
+    else:
+        dot = "list_dot_product(a.v, b.v)"
+        nrm = lambda t: f"sqrt(list_dot_product({t}.v, {t}.v))"
+        vcol = "embedding::DOUBLE[]"
+        rankq = '"rank"'
+    return f"""
+SELECT query_id, neighbor_id, cos_sim, {rankq} FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS {rankq}
+  FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           round({dot} / ({nrm('a')} * {nrm('b')}), 6) AS cos_sim
+    FROM (SELECT vec_id, {vcol} AS v FROM embeddings WHERE vec_id < 10) a
+    JOIN (SELECT vec_id, {vcol} AS v FROM embeddings) b ON a.vec_id != b.vec_id
+  ) s
+) r WHERE {rankq} <= 5"""
+
+
 def q_source_parse(d: str) -> str:
     """P11 analog (reference lib/parse_sam.py:41-43 get_coords): parse the
     structured source id into its numeric coordinate and aggregate."""
@@ -458,6 +562,8 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "source_parse": q_source_parse,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash16": q_simhash16,
+    "simhash64": q_simhash64,
+    "substring_overlap_pairs": q_substring_overlap_pairs,
     "cosine_topk": q_cosine_topk,
 }
 
@@ -517,37 +623,35 @@ def _simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL similarity operator (not a SQL mirror) on the Spark side;
+    its DuckDB oracle is q_ann_cosine_topk. Deterministic query set:
+    vec_id < 10."""
     from pyspark.sql import functions as F
 
-    from umi_dedup_spark.config import DedupConfig
-    from umi_dedup_spark.functions.text import normalize_text
-    from umi_dedup_spark.operators.suffix import substring_pairs
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    fams = docs.select(
-        F.col("doc_id").alias("norm_hash"),
-        F.lit(1).alias("fam_count"),
-        F.col("doc_id").alias("fam_tb"),
-        normalize_text(F.col("text")).alias("norm_text"),
-    )
-    pairs, _ = substring_pairs(fams, DedupConfig())
-    return pairs.select(F.col("src").alias("a_id"), F.col("dst").alias("b_id"))
-
-
-def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from umi_dedup_spark.operators.similarity import brute_force_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    queries = emb.limit(10)
+    queries = emb.filter(F.col("vec_id") < 10)
     return brute_force_topk(queries, emb, k=5)
 
 
 ROWS_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # the end-to-end pipeline (UDF fingerprints + LSH + CC fixpoint) stays
+    # rows-only: its correctness gate is the pytest oracle-equivalence
+    # suite (test_cluster_equivalence, test_directional, test_pipeline)
     "flagship_dedup_pipeline": _flagship,
+    # 64-bit pandas-UDF fingerprints: covered relationally by simhash64
+    # (SQL pair) and by tests/test_fingerprints.py chunk checks
     "simhash_fingerprints": _simhash_fingerprints,
-    "substring_overlap_pairs": _substring_pairs,
+}
+
+# Spark side = real operator, oracle = hand-matched DuckDB SQL
+OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": _ann_topk,
+}
+OPERATOR_ORACLES: dict[str, Callable[[str], str]] = {
+    "ann_cosine_topk": q_ann_cosine_topk,
 }
 
 
@@ -563,9 +667,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _run_sql(name) for name in SQL_QUERIES
     }
+    out.update(OPERATOR_QUERIES)
     out.update(ROWS_ONLY)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: fn("d") for name, fn in SQL_QUERIES.items()}
+    out = {name: fn("d") for name, fn in SQL_QUERIES.items()}
+    out.update({name: fn("d") for name, fn in OPERATOR_ORACLES.items()})
+    return out

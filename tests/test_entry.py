@@ -50,7 +50,12 @@ def duck():
     return con
 
 
-@pytest.mark.parametrize("name", sorted(entry_mod.SQL_QUERIES))
+ORACLE_BACKED = sorted(
+    list(entry_mod.SQL_QUERIES) + list(entry_mod.OPERATOR_QUERIES)
+)
+
+
+@pytest.mark.parametrize("name", ORACLE_BACKED)
 def test_sql_query_matches_oracle(spark, duck, name):
     q = entry_mod.queries()[name]
     sdf = q(spark, SF_DIR)

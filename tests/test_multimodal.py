@@ -1,16 +1,22 @@
-"""Multimodal plumbing tests: schema, batch shape, deterministic stub
-features, frame sampling (decode kernels are stubs — the Spark-side
-distribution plan is what's under test)."""
+"""Multimodal tests: schema, batch shape, REAL pure-numpy codecs (P6 PPM
+images, PCM-16 WAV audio), resize correctness, frame sampling, and the
+flagged digest fallback for undecodable payloads."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from umi_dedup_spark.operators.multimodal import (
     decode_available,
+    decode_ppm,
+    decode_wav,
+    encode_ppm,
+    encode_wav,
     extract_features,
     frame_sample,
+    resize_array,
     resize_images,
     synth_media,
 )
@@ -35,6 +41,58 @@ def test_extract_features_schema_and_determinism(media):
     assert d1 == d2
 
 
+def test_real_decode_paths_flagged(media):
+    """synth_media emits real PPM/WAV payloads: every image and audio row
+    must take the real-codec path (decoded=True); opaque video blobs take
+    the flagged digest fallback."""
+    rows = extract_features(media, n_dims=8).collect()
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r["kind"], []).append(r["decoded"])
+    assert all(by_kind["image"]), "PPM image failed the real decoder"
+    assert all(by_kind["audio"]), "WAV audio failed the real decoder"
+    assert not any(by_kind["video"]), "opaque blob wrongly claimed decoded"
+
+
+def test_ppm_roundtrip():
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    assert decode_ppm(b"NOTAPPM") is None
+
+
+def test_wav_roundtrip():
+    rate = 8000
+    t = np.arange(1600) / rate
+    samples = 0.25 * np.sin(2 * np.pi * 440 * t)
+    out = decode_wav(encode_wav(samples, rate))
+    assert out is not None
+    got, got_rate = out
+    assert got_rate == rate
+    assert np.allclose(got, samples, atol=1e-3)
+    assert decode_wav(b"RIFFxxxxJUNK") is None
+
+
+def test_resize_array_box_mean():
+    # 4x4 -> 2x2 box resize must average each 2x2 block exactly
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    out = resize_array(img, 2, 2)
+    expect = img.astype(float).reshape(2, 2, 2, 2, 3).mean(axis=(1, 3))
+    assert np.array_equal(out, np.rint(expect).astype(np.uint8))
+
+
+def test_resize_images_executes(media):
+    """The decode-resize-encode kernel runs end-to-end on the synth
+    payloads and produces decodable PPMs of the target size."""
+    assert decode_available()
+    rows = resize_images(media, 8, 6).collect()
+    assert rows, "no image rows"
+    for r in rows:
+        assert (r["width"], r["height"]) == (8, 6)
+        img = decode_ppm(bytes(r["payload"]))
+        assert img is not None and img.shape == (6, 8, 3)
+
+
 def test_identical_payload_identical_sha(spark):
     m = synth_media(spark, n=9, seed=7)
     doubled = m.union(m)
@@ -52,13 +110,3 @@ def test_frame_sample_counts(media):
     expect = {v["media_id"]: v["duration_ms"] // 5000 + 1 for v in vids}
     got = {r["media_id"]: r["count"] for r in rows}
     assert got == expect
-
-
-def test_resize_stub_raises_without_codec(media, spark):
-    if decode_available():
-        pytest.skip("codec present")
-    from py4j.protocol import Py4JJavaError
-
-    df = resize_images(media, 64, 64)
-    with pytest.raises(Exception):
-        df.collect()

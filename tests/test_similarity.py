@@ -67,3 +67,35 @@ def test_lsh_recall_on_near_duplicate_regime(spark):
     hits = sum(1 for r in approx if r["neighbor_id"] == r["query_id"] + 1)
     recall = hits / 60
     assert recall >= 0.9, f"LSH near-dup recall {recall}"
+
+
+def test_lsh_recall_at_10k_vectors(spark):
+    """Scale check: 10k corpus vectors with planted near-dups; LSH top-1
+    recall vs numpy brute-force ground truth must stay >= 0.9, and the
+    vectorized bucket UDF must handle full Arrow batches."""
+    rng = np.random.RandomState(7)
+    n_base, dim = 5000, 32
+    base = rng.normal(size=(n_base, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    dup = base + rng.normal(scale=0.06, size=(n_base, dim))
+    dup /= np.linalg.norm(dup, axis=1, keepdims=True)
+    mat = np.empty((2 * n_base, dim))
+    mat[0::2] = base
+    mat[1::2] = dup
+
+    n_q = 64
+    q_ids = np.arange(0, 2 * n_q, 2)  # originals
+    sims = mat[q_ids] @ mat.T
+    sims[np.arange(n_q), q_ids] = -np.inf
+    truth = {int(q): int(np.argmax(sims[i])) for i, q in enumerate(q_ids)}
+
+    emb2 = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(2 * n_base)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb2.filter(F.col("vec_id") < 2 * n_q).filter(F.col("vec_id") % 2 == 0)
+    approx = lsh_bucketed_topk(q, emb2, k=1, n_bits=10, n_tables=8).collect()
+    got = {int(r["query_id"]): int(r["neighbor_id"]) for r in approx}
+    hits = sum(1 for qid, n in truth.items() if got.get(qid) == n)
+    recall = hits / n_q
+    assert recall >= 0.9, f"LSH recall@1 at 10k vectors: {recall}"

@@ -59,31 +59,43 @@ def brute_force_topk(
     )
 
 
-def make_hyperplane_udf(dim: int, n_bits: int, n_tables: int, seed: int):
+def make_hyperplane_udf(dim: int | None, n_bits: int, n_tables: int, seed: int):
     """pandas_udf: embedding -> array of n_tables bucket keys (long).
 
     Each table t uses n_bits random hyperplanes; key = packed sign bits,
-    salted with the table index.
+    salted with the table index. ``dim=None`` infers the dimension from
+    the first Arrow batch — the plane matrix is regenerated identically on
+    every Python worker from the fixed seed, so no driver-side
+    ``.first()`` probe job is needed.
     """
-    rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(n_tables, n_bits, dim)).astype(np.float64)
+    # bit weights for packing sign bits into an int key (n_bits <= 56)
+    bit_weights = (1 << np.arange(n_bits, dtype=np.int64))
+    table_salt = (np.arange(n_tables, dtype=np.int64) << 56)
+    cache: dict[int, np.ndarray] = {}
+
+    def _planes(d: int) -> np.ndarray:
+        # (n_tables * n_bits, dim) — one matmul per Arrow batch covers
+        # every table; rows [t*n_bits, (t+1)*n_bits) are table t's planes
+        if d not in cache:
+            rng = np.random.RandomState(seed)
+            cache[d] = rng.normal(size=(n_tables * n_bits, d)).astype(np.float64)
+        return cache[d]
+
+    if dim is not None:
+        _planes(dim)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def bucket_udf(vecs: pd.Series) -> pd.Series:
-        out = []
-        for v in vecs:
-            x = np.asarray(v, dtype=np.float64)
-            keys = []
-            for t in range(n_tables):
-                bits = (planes[t] @ x) > 0
-                # pack sign bits -> int key (n_bits <= 56), salt with table id
-                key = 0
-                for i, b in enumerate(bits):
-                    if b:
-                        key |= 1 << i
-                keys.append((t << 56) | key)
-            out.append(keys)
-        return pd.Series(out)
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        # stack the whole Arrow batch: (n_rows, dim) @ (dim, T*B) — one
+        # BLAS call per batch, then vectorized bit packing; no per-row
+        # Python in the body
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (x @ _planes(x.shape[1]).T) > 0            # (n, T*B)
+        bits = bits.reshape(len(vecs), n_tables, n_bits)  # (n, T, B)
+        keys = (bits * bit_weights).sum(axis=2) | table_salt  # (n, T)
+        return pd.Series(list(keys))
 
     return bucket_udf
 
@@ -94,9 +106,8 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: hyperplane-LSH candidate generation + exact
-    cosine re-rank within shared buckets."""
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+    cosine re-rank within shared buckets. Dimension is inferred inside the
+    UDF (seeded plane regeneration per worker) — no driver-side probe."""
     udf = make_hyperplane_udf(dim, n_bits, n_tables, seed)
 
     def bucketize(df, idn, vn):
