@@ -533,6 +533,20 @@ SELECT query_id, neighbor_id, cos_sim, {rankq} FROM (
 ) r WHERE {rankq} <= 5"""
 
 
+def q_paired_umi_counts(d: str) -> str:
+    """DuckDB oracle for the paired combined-fingerprint flow (reference
+    extract_umi_paired.py:30-46 + lib/parse_fastq.py:112-144): mate1 key =
+    first 2 tokens of the normalized text, mate2 key = 'lang source';
+    combined = key1 + '+' + key2; output = combined-key frequency table.
+    The Spark side runs the real operator (operators/paired.py)."""
+    toks = _toks(d, _norm(d, "text"))
+    k1 = _slice_join(d, f"({toks})", "1", 2)
+    return f"""
+SELECT pair_key, count(*) AS n_pairs FROM (
+  SELECT concat({k1}, '+', concat(lang, ' ', source)) AS pair_key FROM documents
+) t GROUP BY pair_key"""
+
+
 def q_source_parse(d: str) -> str:
     """P11 analog (reference lib/parse_sam.py:41-43 get_coords): parse the
     structured source id into its numeric coordinate and aggregate."""
@@ -646,12 +660,36 @@ ROWS_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_fingerprints": _simhash_fingerprints,
 }
 
+def _paired_umi_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL paired operator on the Spark side (S8/J2 + combined-key
+    extraction); oracle = q_paired_umi_counts."""
+    from pyspark.sql import functions as F
+
+    from umi_dedup_spark.functions.text import normalize_text
+    from umi_dedup_spark.operators.paired import (
+        paired_combined_keys,
+        paired_key_counts,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m1 = docs.select("doc_id", normalize_text(F.col("text")).alias("text"))
+    m2 = docs.select(
+        "doc_id", F.concat_ws(" ", F.col("lang"), F.col("source")).alias("text")
+    )
+    pairs = paired_combined_keys(
+        m1, m2, key_col="doc_id", n_tokens1=2, n_tokens2=2
+    )
+    return paired_key_counts(pairs)
+
+
 # Spark side = real operator, oracle = hand-matched DuckDB SQL
 OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": _ann_topk,
+    "paired_umi_counts": _paired_umi_counts,
 }
 OPERATOR_ORACLES: dict[str, Callable[[str], str]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
+    "paired_umi_counts": q_paired_umi_counts,
 }
 
 
