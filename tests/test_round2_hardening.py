@@ -157,48 +157,48 @@ def test_resume_rejects_stale_config_checkpoint(spark, tmp_path):
 
 
 # ------------------------------------------------- winnowing density
-def _anchor_positions(spark, tokens: list[str], cfg: DedupConfig) -> list[int]:
-    from umi_dedup_spark.operators.suffix import with_window_hashes
+def test_winnowing_density_adversarial_runs():
+    """Every s consecutive positions contain an anchor, for increasing,
+    decreasing, constant, and random hash sequences (a forward-min-only
+    rule finds no anchor in a decreasing run; hash%s==0 finds none in a
+    constant run)."""
+    from umi_dedup_spark.functions.hashing import winnow_anchor_positions
 
-    # reuse the exact production expressions, but emit anchor indices by
-    # hashing single-token windows (T=1) so positions are recoverable
-    probe_cfg = DedupConfig(
-        shuffle_partitions=8,
-        substring_window_tokens=1,
-        substring_anchor_stride=cfg.substring_anchor_stride,
-    )
-    df = spark.createDataFrame([(" ".join(tokens),)], "norm_text string")
-    out = with_window_hashes(df, probe_cfg).select("win_hashes").collect()[0][0]
-    tok_hash = {
-        r["t"]: r["h"]
-        for r in spark.createDataFrame([(t,) for t in set(tokens)], "t string")
-        .select("t", F.xxhash64(F.concat_ws(" ", F.array("t"))).alias("h"))
-        .collect()
+    s = 8
+    n = 60
+    rng = np.random.RandomState(0)
+    seqs = {
+        "increasing": np.sort(rng.randint(0, 2**63, n).astype(np.uint64)),
+        "decreasing": np.sort(rng.randint(0, 2**63, n).astype(np.uint64))[::-1],
+        "constant": np.full(n, 12345, dtype=np.uint64),
+        "random": rng.randint(0, 2**63, n).astype(np.uint64),
     }
-    anchored_hashes = set(out)
-    return [i for i, t in enumerate(tokens) if tok_hash[t] in anchored_hashes]
-
-
-def test_winnowing_density_monotone_runs(spark):
-    """Every s consecutive positions contain an anchor, even for token
-    sequences engineered so the hash sequence is monotone (the case the
-    old forward-min-only rule missed)."""
-    cfg = DedupConfig(shuffle_partitions=8)
-    s = cfg.substring_anchor_stride
-    base = [f"tok{i}" for i in range(60)]
-    # sort tokens by their xxhash64 so the hash sequence is increasing,
-    # then also test the reverse (decreasing)
-    hashes = {
-        r["t"]: r["h"]
-        for r in spark.createDataFrame([(t,) for t in base], "t string")
-        .select("t", F.xxhash64(F.concat_ws(" ", F.array("t"))).alias("h"))
-        .collect()
-    }
-    increasing = sorted(base, key=lambda t: hashes[t])
-    for tokens in (increasing, increasing[::-1]):
-        anchors = _anchor_positions(spark, tokens, cfg)
-        assert anchors, "no anchors in monotone run"
-        for start in range(0, len(tokens) - s + 1):
+    for name, th in seqs.items():
+        anchors = set(winnow_anchor_positions(np.ascontiguousarray(th), s).tolist())
+        assert anchors, f"no anchors in {name} run"
+        for start in range(0, n - s + 1):
             assert any(start <= a < start + s for a in anchors), (
-                f"no anchor in window [{start}, {start + s})"
+                f"{name}: no anchor in window [{start}, {start + s})"
             )
+
+
+def test_winnowing_matches_bruteforce_argmin():
+    """Kernel anchors == the set of per-window argmins (distinct hashes):
+    i is selected iff i minimizes at least one s-window covering it."""
+    from umi_dedup_spark.functions.hashing import winnow_anchor_positions
+
+    rng = np.random.RandomState(3)
+    for _ in range(20):
+        n = int(rng.randint(2, 40))
+        s = int(rng.randint(2, 10))
+        th = np.unique(rng.randint(0, 2**62, size=2 * n).astype(np.uint64))[:n]
+        rng.shuffle(th)
+        n = len(th)
+        # windows starting at every position, tail-truncated (the kernel
+        # pads with +inf, i.e. tail windows shrink rather than disappear)
+        want = set()
+        for j in range(n):
+            w = th[j : j + s]
+            want.add(j + int(np.argmin(w)))
+        got = set(winnow_anchor_positions(th, s).tolist())
+        assert got == want, f"n={n} s={s}: {sorted(got)} vs {sorted(want)}"

@@ -39,16 +39,8 @@ def _token_hash64(token: str) -> int:
     return int.from_bytes(hashlib.blake2b(token.encode(), digest_size=8).digest(), "little")
 
 
-def shingle_hashes(text: str, k: int, _cache: dict | None = None) -> np.ndarray:
-    """Distinct uint64 hashes of the k-token shingles of ``text``.
-
-    Vectorized: per-unique-token blake2b (C), then a sliding-window
-    polynomial combine in numpy. Docs with <= k tokens hash as one shingle.
-    """
-    toks = text.split()
-    if not toks:
-        toks = [""]
-    cache = _cache if _cache is not None else {}
+def token_hashes(toks: list[str], cache: dict) -> np.ndarray:
+    """uint64 hash per token; per-unique-token blake2b, cached per batch."""
     th = np.empty(len(toks), dtype=np.uint64)
     for i, t in enumerate(toks):
         v = cache.get(t)
@@ -56,6 +48,12 @@ def shingle_hashes(text: str, k: int, _cache: dict | None = None) -> np.ndarray:
             v = _token_hash64(t)
             cache[t] = v
         th[i] = v
+    return th
+
+
+def _combine_windows(th: np.ndarray, k: int) -> np.ndarray:
+    """Distinct polynomial hashes of every k-length window of token
+    hashes (<= k tokens hash as one window)."""
     n = len(th)
     with np.errstate(over="ignore"):
         if n <= k:
@@ -68,6 +66,63 @@ def shingle_hashes(text: str, k: int, _cache: dict | None = None) -> np.ndarray:
         for j in range(k):
             acc = acc * _POLY + win[:, j]
     return np.unique(acc)
+
+
+def shingle_hashes(text: str, k: int, _cache: dict | None = None) -> np.ndarray:
+    """Distinct uint64 hashes of the k-token shingles of ``text``.
+
+    Vectorized: per-unique-token blake2b (C), then a sliding-window
+    polynomial combine in numpy. Docs with <= k tokens hash as one shingle.
+    """
+    toks = text.split()
+    if not toks:
+        toks = [""]
+    cache = _cache if _cache is not None else {}
+    return _combine_windows(token_hashes(toks, cache), k)
+
+
+def winnow_anchor_positions(th: np.ndarray, s: int) -> np.ndarray:
+    """TRUE WINNOWING anchors (Schleimer et al. 2003) over a uint64 token-
+    hash sequence: position i anchors iff th[i] is the minimum of at least
+    one s-length window covering i. Computed in two vectorized passes:
+    fwd[j] = min(th[j..j+s-1]) (tail windows truncate), then anchor(i) iff
+    max(fwd[i-s+1..i]) == th[i] — every covering window has fwd <= th[i],
+    so some covering window attains th[i] (i is its argmin) exactly when
+    the max does. Guarantees >= 1 anchor in every s consecutive positions
+    (given distinct hashes), regardless of content — monotone runs
+    included. numpy sliding_window_view: C speed, no per-element Python
+    (the equivalent Spark higher-order-function formulation is interpreted
+    per element and measured ~100x slower)."""
+    n = len(th)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    if s <= 1 or n == 1:
+        return np.arange(n, dtype=np.int64)
+    INF = np.uint64(0xFFFFFFFFFFFFFFFF)
+    pad_f = np.concatenate([th, np.full(s - 1, INF, dtype=np.uint64)])
+    fwd = np.lib.stride_tricks.sliding_window_view(pad_f, s).min(axis=1)  # len n
+    pad_b = np.concatenate([np.zeros(s - 1, dtype=np.uint64), fwd])
+    cov = np.lib.stride_tricks.sliding_window_view(pad_b, s).max(axis=1)  # len n
+    return np.flatnonzero(cov == th).astype(np.int64)
+
+
+def window_anchor_hashes(th: np.ndarray, s: int, T: int) -> np.ndarray:
+    """Distinct int64 hashes of the T-token windows starting at each
+    winnowing anchor (anchors without a full T-window are dropped). Two
+    documents sharing a verbatim token run of >= s+T-1 tokens share at
+    least one anchored window hash (winnowing density guarantee)."""
+    n = len(th)
+    if n < T:
+        return np.empty(0, dtype=np.int64)
+    anchors = winnow_anchor_positions(th, s)
+    anchors = anchors[anchors <= n - T]
+    if len(anchors) == 0:
+        return np.empty(0, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        acc = np.full(len(anchors), _FNV_BASIS, dtype=np.uint64)
+        for j in range(T):
+            acc = acc * _POLY + th[anchors + j]
+    return np.unique(acc).view(np.int64)
 
 
 @lru_cache(maxsize=8)
@@ -107,8 +162,9 @@ def simhash64(hashes: np.ndarray) -> int:
 
 
 def _fingerprint_batch(
-    texts: pd.Series, k: int, num_perm: int, seed: int
-) -> tuple[list[np.ndarray], np.ndarray]:
+    texts: pd.Series, k: int, num_perm: int, seed: int,
+    window_tokens: int | None = None, anchor_stride: int | None = None,
+) -> tuple[list[np.ndarray], np.ndarray, list[np.ndarray] | None]:
     """Batch kernel, vectorized ACROSS rows: all rows' shingle hashes are
     flattened into one array and the permutation mins / bit votes are
     computed with segment reductions (minimum.reduceat / add.reduceat)
@@ -116,14 +172,24 @@ def _fingerprint_batch(
     cost of the per-row formulation (~0.6 ms/row; ~20x less this way).
     Permutations are processed in groups of 8 to bound the (n_shingles x
     perms) intermediate to tens of MB per Arrow batch.
+
+    When window_tokens/anchor_stride are given, also returns per-row
+    winnowing-anchored window hashes (the substring pass's bucket keys)
+    from the SAME per-token hashes — one tokenization per doc covers
+    MinHash, SimHash, and the substring windows.
     """
     cache: dict = {}
-    rows = [
-        shingle_hashes(t if isinstance(t, str) else "", k, cache) for t in texts
-    ]
+    rows: list[np.ndarray] = []
+    wins: list[np.ndarray] | None = [] if window_tokens else None
+    for t in texts:
+        toks = (t if isinstance(t, str) else "").split() or [""]
+        th = token_hashes(toks, cache)
+        rows.append(_combine_windows(th, k))
+        if wins is not None:
+            wins.append(window_anchor_hashes(th, anchor_stride, window_tokens))
     n = len(rows)
     if n == 0:
-        return [], np.empty(0, dtype=np.int64)
+        return [], np.empty(0, dtype=np.int64), wins
     lens = np.fromiter((len(r) for r in rows), dtype=np.int64, count=n)
     starts = np.zeros(n, dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
@@ -158,25 +224,37 @@ def _fingerprint_batch(
     # bit 63 flips the sign in two's complement: subtract 2^63 via int64 min
     sims = np.where(ones[63], sims + np.int64(-(2**63)), sims)
 
-    return list(sig), sims
+    return list(sig), sims, wins
 
 
-def make_fingerprint_udf(k: int, num_perm: int, seed: int):
-    """pandas_udf: text -> struct(minhash array<int>, simhash long).
+def make_fingerprint_udf(
+    k: int, num_perm: int, seed: int,
+    window_tokens: int | None = None, anchor_stride: int | None = None,
+):
+    """pandas_udf: text -> struct(minhash array<long>, simhash long[,
+    win_hashes array<long>]).
 
-    One UDF computes both fingerprints so shingles are hashed once per doc.
+    One UDF computes every fingerprint so tokens are hashed once per doc;
+    win_hashes (the substring pass's winnowing-anchored window hashes) is
+    included when window_tokens/anchor_stride are given.
     """
-    schema = T.StructType(
-        [
-            T.StructField("minhash", T.ArrayType(T.LongType())),
-            T.StructField("simhash", T.LongType()),
-        ]
-    )
+    fields = [
+        T.StructField("minhash", T.ArrayType(T.LongType())),
+        T.StructField("simhash", T.LongType()),
+    ]
+    if window_tokens:
+        fields.append(T.StructField("win_hashes", T.ArrayType(T.LongType())))
+    schema = T.StructType(fields)
 
     @F.pandas_udf(schema)
     def fingerprint_udf(texts: pd.Series) -> pd.DataFrame:
-        sigs, sims = _fingerprint_batch(texts, k, num_perm, seed)
-        return pd.DataFrame({"minhash": sigs, "simhash": sims})
+        sigs, sims, wins = _fingerprint_batch(
+            texts, k, num_perm, seed, window_tokens, anchor_stride
+        )
+        out = {"minhash": sigs, "simhash": sims}
+        if window_tokens:
+            out["win_hashes"] = wins
+        return pd.DataFrame(out)
 
     return fingerprint_udf
 
@@ -186,10 +264,28 @@ def make_minhash_udf(k: int, num_perm: int, seed: int):
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def minhash_udf(texts: pd.Series) -> pd.Series:
-        sigs, _ = _fingerprint_batch(texts, k, num_perm, seed)
+        sigs, _, _ = _fingerprint_batch(texts, k, num_perm, seed)
         return pd.Series(sigs)
 
     return minhash_udf
+
+
+def make_window_hash_udf(anchor_stride: int, window_tokens: int):
+    """pandas_udf: text -> array<long> winnowing-anchored window hashes
+    (the standalone substring-pass kernel; the pipeline gets the same
+    values from make_fingerprint_udf's win_hashes field)."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def window_hash_udf(texts: pd.Series) -> pd.Series:
+        cache: dict = {}
+        out = []
+        for t in texts:
+            toks = (t if isinstance(t, str) else "").split() or [""]
+            th = token_hashes(toks, cache)
+            out.append(window_anchor_hashes(th, anchor_stride, window_tokens))
+        return pd.Series(out)
+
+    return window_hash_udf
 
 
 def make_simhash_udf(k: int):

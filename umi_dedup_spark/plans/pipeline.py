@@ -37,7 +37,7 @@ from umi_dedup_spark import io as dio
 from umi_dedup_spark.config import DedupConfig
 from umi_dedup_spark.functions.hashing import make_fingerprint_udf
 from umi_dedup_spark.operators.cc import propagate_labels
-from umi_dedup_spark.operators.directional import attach_pair_attrs, directed_edges
+from umi_dedup_spark.operators.directional import build_edges
 from umi_dedup_spark.operators.estimators import cluster_survivor_counts
 from umi_dedup_spark.operators.exact import (
     exact_families,
@@ -56,7 +56,6 @@ from umi_dedup_spark.operators.stats import (
     library_stats,
     partition_lineage,
 )
-from umi_dedup_spark.operators.suffix import with_window_hashes
 
 
 @dataclass
@@ -131,24 +130,26 @@ class DedupPipeline:
         docs = timed("docs", lambda: prepare_docs(pages, cfg))
 
         def build_families():
-            # fingerprints (Arrow pandas UDF) AND substring window hashes
-            # (JVM winnowing expressions) in ONE projection over norm_text:
-            # the text-sized column is consumed here and never cached or
+            # ONE Arrow pandas UDF computes MinHash + SimHash + winnowing
+            # window hashes from a single tokenization of norm_text: the
+            # text-sized column is consumed here and never cached or
             # shuffled — the materialized family row is narrow (two hash
             # arrays + scalars).
-            withfp = exact_families(docs, cfg).withColumn(
-                "fp",
-                make_fingerprint_udf(cfg.shingle_k, cfg.num_perm, cfg.seed)(
-                    F.col("norm_text")
-                ),
+            fp_udf = make_fingerprint_udf(
+                cfg.shingle_k, cfg.num_perm, cfg.seed,
+                cfg.substring_window_tokens, cfg.substring_anchor_stride,
             )
-            return with_window_hashes(withfp, cfg).select(
-                "norm_hash",
-                "fam_count",
-                "fam_tb",
-                F.col("fp.minhash").alias("minhash"),
-                F.col("fp.simhash").alias("simhash"),
-                "win_hashes",
+            return (
+                exact_families(docs, cfg)
+                .withColumn("fp", fp_udf(F.col("norm_text")))
+                .select(
+                    "norm_hash",
+                    "fam_count",
+                    "fam_tb",
+                    F.col("fp.minhash").alias("minhash"),
+                    F.col("fp.simhash").alias("simhash"),
+                    F.col("fp.win_hashes").alias("win_hashes"),
+                )
             )
 
         fams = timed("families", build_families)
@@ -194,7 +195,7 @@ class DedupPipeline:
 
         edges = timed(
             "edges",
-            lambda: directed_edges(attach_pair_attrs(pairs, fams), cfg),
+            lambda: build_edges(pairs, fams, cfg),
         )
 
         def build_labels():
