@@ -177,10 +177,12 @@ class DedupPipeline:
             self._overflow_raw = overflow
             return pairs
 
-        # pairs feed exactly one consumer (edges): keep lazy so the pair
-        # join fuses into the edges job instead of a serial barrier
+        # pairs are consumed TWICE by the two-phase edge gate (cheap-gate
+        # branch + minhash-residual branch) — materialize, or the whole
+        # bucket exchange + self-join executes once per branch (measured:
+        # the fused-lazy variant doubled the edges stage wall)
         self._overflow_raw = None
-        pairs = timed("pairs", build_pairs, materialize=False)
+        pairs = timed("pairs", build_pairs)
 
         # overflow metrics: persisted as their own checkpoint stage (so a
         # resumed run restores them even when the pairs stage is skipped);
