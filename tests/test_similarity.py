@@ -6,7 +6,11 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from umi_dedup_spark.operators.similarity import brute_force_topk, lsh_bucketed_topk
+from umi_dedup_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_bucketed_topk,
+)
 
 
 @pytest.fixture(scope="module")
@@ -67,6 +71,26 @@ def test_lsh_recall_on_near_duplicate_regime(spark):
     hits = sum(1 for r in approx if r["neighbor_id"] == r["query_id"] + 1)
     recall = hits / 60
     assert recall >= 0.9, f"LSH near-dup recall {recall}"
+
+
+def test_ivf_recall_on_near_duplicate_regime(spark):
+    """IVF with sampled centroids: planted near-dups land in the same (or
+    a probed) Voronoi cell; top-1 recall >= 0.9."""
+    rng = np.random.RandomState(1)
+    rows = []
+    vid = 0
+    for i in range(80):
+        v = rng.normal(size=32)
+        v /= np.linalg.norm(v)
+        rows.append((vid, [float(x) for x in v])); vid += 1
+        d = v + rng.normal(scale=0.08, size=32)
+        d /= np.linalg.norm(d)
+        rows.append((vid, [float(x) for x in d])); vid += 1
+    emb2 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb2.filter(F.col("vec_id") % 2 == 0)
+    approx = ivf_topk(q, emb2, k=1, n_cells=16, nprobe=4).collect()
+    hits = sum(1 for r in approx if r["neighbor_id"] == r["query_id"] + 1)
+    assert hits / 80 >= 0.9, f"IVF near-dup recall {hits / 80}"
 
 
 def test_lsh_recall_at_10k_vectors(spark):

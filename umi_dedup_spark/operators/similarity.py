@@ -100,6 +100,79 @@ def make_hyperplane_udf(dim: int | None, n_bits: int, n_tables: int, seed: int):
     return bucket_udf
 
 
+def make_cell_udf(centroids: np.ndarray, nprobe: int):
+    """pandas_udf: embedding -> array of the nprobe nearest centroid ids
+    (cosine). ``centroids`` is a broadcast-constant (n_cells, dim) matrix,
+    L2-normalized here once; the batch body is one matmul + argpartition.
+    """
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def cell_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sims = x @ cn.T  # (n, n_cells)
+        p = min(nprobe, sims.shape[1])
+        top = np.argpartition(-sims, p - 1, axis=1)[:, :p].astype(np.int32)
+        return pd.Series(list(top))
+
+    return cell_udf
+
+
+def ivf_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 10,
+    n_cells: int = 64, nprobe: int = 8, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the corpus is partitioned
+    into Voronoi cells around sampled centroids; each query probes its
+    ``nprobe`` nearest cells and re-ranks exactly within them.
+
+    Scale shape: centroids are a deterministic hash-ordered SAMPLE of the
+    corpus (one small collect, broadcast to workers — no iterative k-means
+    job); corpus rows get ONE cell id (narrow shuffle on cell), queries
+    explode to nprobe cells, and the join is an equi-join on the cell id.
+    Shuffled bytes scale with nprobe/n_cells of the corpus per query
+    rather than the full corpus (brute force) or per-table bucket
+    replication (hyperplane LSH).
+    """
+    # deterministic centroid sample: smallest xxhash64(vec_id, seed)
+    cent_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_h", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy("_h")
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in cent_rows])
+
+    assign1 = make_cell_udf(centroids, 1)
+    assignp = make_cell_udf(centroids, nprobe)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(assignp(F.col(vec_col))).alias("cell"),
+    )
+    cand = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def lsh_bucketed_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 10,
     dim: int | None = None, n_bits: int = 12, n_tables: int = 4, seed: int = 42,

@@ -127,7 +127,15 @@ class DedupPipeline:
             times[name] = round(time.time() - t0, 3)
             return out
 
-        docs = timed("docs", lambda: prepare_docs(pages, cfg))
+        # docs_full stays LAZY (usable filter + hash/quality projection
+        # over the source); the persisted docs table is NARROW — no text.
+        # Text is consumed exactly twice, both as lazy source re-scans:
+        # the families aggregation (fingerprints need it per family) and
+        # the final output join. It never sits in the cache and never
+        # rides the survivor/cluster exchanges — payload bytes through
+        # shuffles are what does not scale.
+        docs_full = prepare_docs(pages, cfg)
+        docs = timed("docs", lambda: docs_full.drop("text"))
 
         def build_families():
             # ONE Arrow pandas UDF computes MinHash + SimHash + winnowing
@@ -140,7 +148,7 @@ class DedupPipeline:
                 cfg.substring_window_tokens, cfg.substring_anchor_stride,
             )
             return (
-                exact_families(docs, cfg)
+                exact_families(docs_full, cfg)
                 .withColumn("fp", fp_udf(F.col("norm_text")))
                 .select(
                     "norm_hash",
@@ -224,6 +232,8 @@ class DedupPipeline:
         clustered = timed("clusters", lambda: cluster_table(fams, labels))
 
         def build_marked():
+            # the whole survivor/cluster chain runs on NARROW doc rows;
+            # the text payload joins back exactly once at the end
             docs_exact = mark_exact_duplicates(docs)
             doc_clusters = docs_exact.join(
                 clustered.select("norm_hash", "cluster_id"), "norm_hash"
@@ -239,7 +249,9 @@ class DedupPipeline:
                     "n_keep",
                     partition_cols=("cluster_id", "norm_hash"),
                 )
-            return attach_rep_url(marked).drop("norm_text")
+            return attach_rep_url(marked).join(
+                docs_full.select("doc_key", "text"), "doc_key", "left"
+            )
 
         marked = timed("marked", build_marked)
 
