@@ -533,6 +533,55 @@ SELECT query_id, neighbor_id, cos_sim, {rankq} FROM (
 ) r WHERE {rankq} <= 5"""
 
 
+def q_ann_ivf_topk(d: str) -> str:
+    """DuckDB oracle for the IVF (inverted-file) ANN scale path
+    (operators/similarity.ivf_topk): centroids = vectors of the 8 smallest
+    vec_ids; every corpus vector is assigned to its nearest centroid
+    (round(sim, 9) DESC, cell ASC — the exact tie rule of the Spark cell
+    UDF); queries (vec_id < 10) probe their 2 nearest cells and re-rank
+    exactly within them on round(cos, 6) DESC, neighbor ASC."""
+    if d != "d":
+        raise ValueError("duck dialect only — Spark side is the operator")
+    dot = "list_dot_product(a.v, b.v)"
+    nrm = lambda t: f"sqrt(list_dot_product({t}.v, {t}.v))"
+    return """
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 8
+),
+simsc AS (
+  SELECT e.vec_id, c.cid,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 9) AS s
+  FROM embeddings e CROSS JOIN cents c
+),
+rankedc AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+  FROM simsc
+),
+assigned AS (SELECT vec_id, cid FROM rankedc WHERE rn = 1),
+probes AS (SELECT vec_id, cid FROM rankedc WHERE rn <= 2 AND vec_id < 10),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM probes q JOIN assigned c ON q.cid = c.cid AND q.vec_id != c.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round({dot} / ({na} * {nb}), 6) AS cos_sim
+  FROM cand
+  JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) a
+    ON a.vec_id = query_id
+  JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) b
+    ON b.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, "rank" FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS "rank"
+  FROM scored
+) r WHERE "rank" <= 5""".format(dot=dot, na=nrm("a"), nb=nrm("b"))
+
+
 def q_paired_umi_counts(d: str) -> str:
     """DuckDB oracle for the paired combined-fingerprint flow (reference
     extract_umi_paired.py:30-46 + lib/parse_fastq.py:112-144): mate1 key =
@@ -682,13 +731,30 @@ def _paired_umi_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paired_key_counts(pairs)
 
 
+def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF scale path (operators/similarity.ivf_topk) with explicit
+    deterministic centroids so the DuckDB oracle can mirror the cell
+    assignment; oracle = q_ann_ivf_topk."""
+    from pyspark.sql import functions as F
+
+    from umi_dedup_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(
+        queries, emb, k=5, n_cells=8, nprobe=2, centroid_ids=list(range(8))
+    )
+
+
 # Spark side = real operator, oracle = hand-matched DuckDB SQL
 OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": _ann_topk,
+    "ann_ivf_topk": _ann_ivf_topk,
     "paired_umi_counts": _paired_umi_counts,
 }
 OPERATOR_ORACLES: dict[str, Callable[[str], str]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "paired_umi_counts": q_paired_umi_counts,
 }
 

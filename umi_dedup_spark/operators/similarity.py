@@ -103,7 +103,10 @@ def make_hyperplane_udf(dim: int | None, n_bits: int, n_tables: int, seed: int):
 def make_cell_udf(centroids: np.ndarray, nprobe: int):
     """pandas_udf: embedding -> array of the nprobe nearest centroid ids
     (cosine). ``centroids`` is a broadcast-constant (n_cells, dim) matrix,
-    L2-normalized here once; the batch body is one matmul + argpartition.
+    L2-normalized here once; the batch body is one matmul + a stable
+    argsort. Sims are rounded to 9dp and ties broken by LOWEST cell id so
+    assignment is reproducible across engines (the DuckDB oracle ranks by
+    ``round(sim, 9) DESC, cid ASC``).
     """
     cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
 
@@ -113,9 +116,9 @@ def make_cell_udf(centroids: np.ndarray, nprobe: int):
             return pd.Series([], dtype=object)
         x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-        sims = x @ cn.T  # (n, n_cells)
+        sims = np.round(x @ cn.T, 9)  # (n, n_cells)
         p = min(nprobe, sims.shape[1])
-        top = np.argpartition(-sims, p - 1, axis=1)[:, :p].astype(np.int32)
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :p].astype(np.int32)
         return pd.Series(list(top))
 
     return cell_udf
@@ -125,6 +128,7 @@ def ivf_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 10,
     n_cells: int = 64, nprobe: int = 8, seed: int = 42,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    centroid_ids: list[int] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the corpus is partitioned
     into Voronoi cells around sampled centroids; each query probes its
@@ -138,14 +142,23 @@ def ivf_topk(
     rather than the full corpus (brute force) or per-table bucket
     replication (hyperplane LSH).
     """
-    # deterministic centroid sample: smallest xxhash64(vec_id, seed)
-    cent_rows = (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .withColumn("_h", F.xxhash64(F.col(id_col), F.lit(seed)))
-        .orderBy("_h")
-        .limit(n_cells)
-        .collect()
-    )
+    # deterministic centroid sample: explicit ids when given (cell index =
+    # rank of the id — SQL-mirrorable), else smallest xxhash64(vec_id, seed)
+    if centroid_ids is not None:
+        cent_rows = (
+            corpus.select(F.col(id_col), F.col(vec_col))
+            .filter(F.col(id_col).isin(list(centroid_ids)))
+            .orderBy(id_col)
+            .collect()
+        )
+    else:
+        cent_rows = (
+            corpus.select(F.col(id_col), F.col(vec_col))
+            .withColumn("_h", F.xxhash64(F.col(id_col), F.lit(seed)))
+            .orderBy("_h")
+            .limit(n_cells)
+            .collect()
+        )
     centroids = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in cent_rows])
 
     assign1 = make_cell_udf(centroids, 1)
