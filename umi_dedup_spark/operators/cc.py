@@ -71,33 +71,42 @@ def propagate_labels(
 
     iters = 0
     converged = False
-    for _ in range(max_iters):
+    for it in range(max_iters):
         iters += 1
         incoming = (
             edges.join(labels, edges.src == labels.fam)
             .select(F.col("dst").alias("fam"), F.col("lbl"))
         )
-        # pointer doubling: adopt the label of the node my label points at
-        doubled = (
-            labels.alias("x")
-            .join(labels.alias("y"), F.col("x.lbl.fam") == F.col("y.fam"))
-            .select(F.col("x.fam").alias("fam"), F.col("y.lbl").alias("lbl"))
+        # ONE heavy job per round: the old labels ride into the same agg
+        # tagged is_old, so change detection is a column of the checkpoint
+        # (min(all) vs min(old)) instead of a separate join-and-count job —
+        # the fixpoint's serial driver cadence is the scaling bottleneck.
+        cand = labels.withColumn("is_old", F.lit(True)).unionByName(
+            incoming.withColumn("is_old", F.lit(False))
         )
+        if it > 0:
+            # pointer doubling: adopt the label of the node my label points
+            # at. Skipped in round 0 where every label is self-pointing
+            # (doubling would be an identity self-join).
+            doubled = (
+                labels.alias("x")
+                .join(labels.alias("y"), F.col("x.lbl.fam") == F.col("y.fam"))
+                .select(F.col("x.fam").alias("fam"), F.col("y.lbl").alias("lbl"))
+            )
+            cand = cand.unionByName(doubled.withColumn("is_old", F.lit(False)))
         new_labels = (
-            labels.unionByName(incoming)
-            .unionByName(doubled)
-            .groupBy("fam")
-            .agg(F.min("lbl").alias("lbl"))
+            cand.groupBy("fam")
+            .agg(
+                F.min("lbl").alias("lbl"),
+                F.min(F.when(F.col("is_old"), F.col("lbl"))).alias("old_lbl"),
+            )
+            .select(
+                "fam", "lbl", (F.col("lbl") != F.col("old_lbl")).alias("chg")
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "fam")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").limit(1).count()
+        labels = new_labels.select("fam", "lbl")
         if changed == 0:
             converged = True
             break
