@@ -32,6 +32,10 @@ def run_bench(sf_dir: str, cpus: str, synth_docs: int = 50_000, only: str | None
     from umi_dedup_spark.session import get_spark, warm_python_workers
     from umi_dedup_spark.synth import spark_synth_pages
 
+    # 1x task slots per shuffle: measured 4x partitions REGRESSED the
+    # pairs stage ~13x (37s vs 3s at 5k docs, healthy window) — its
+    # window+self-join+agg chain pays per-partition sort/setup on every
+    # exchange, and AQE does not coalesce window inputs
     spark = get_spark("bench", shuffle_partitions=max(int(cpus) if cpus.isdigit() else 32, 8))
     warm_python_workers(spark)
     queries: dict[str, float] = {}
