@@ -11,13 +11,16 @@ from pyspark.sql import functions as F
 from umi_dedup_spark.operators.multimodal import (
     decode_available,
     decode_ppm,
+    decode_ppmv,
     decode_wav,
     encode_ppm,
+    encode_ppmv,
     encode_wav,
     extract_features,
     frame_sample,
     resize_array,
     resize_images,
+    sample_frames,
     synth_media,
 )
 
@@ -51,7 +54,9 @@ def test_real_decode_paths_flagged(media):
         by_kind.setdefault(r["kind"], []).append(r["decoded"])
     assert all(by_kind["image"]), "PPM image failed the real decoder"
     assert all(by_kind["audio"]), "WAV audio failed the real decoder"
-    assert not any(by_kind["video"]), "opaque blob wrongly claimed decoded"
+    # videos: PPMV payloads decode, opaque blobs are flagged
+    assert any(by_kind["video"]), "PPMV video failed the real decoder"
+    assert not all(by_kind["video"]), "opaque blob wrongly claimed decoded"
 
 
 def test_ppm_roundtrip():
@@ -110,3 +115,40 @@ def test_frame_sample_counts(media):
     expect = {v["media_id"]: v["duration_ms"] // 5000 + 1 for v in vids}
     got = {r["media_id"]: r["count"] for r in rows}
     assert got == expect
+
+
+def test_ppmv_roundtrip():
+    rng = np.random.RandomState(5)
+    frames = [
+        rng.randint(0, 256, size=(6, 9, 3), dtype=np.uint8) for _ in range(5)
+    ]
+    out = decode_ppmv(encode_ppmv(frames, fps=4))
+    assert out is not None
+    got, fps = out
+    assert fps == 4 and len(got) == 5
+    assert all(np.array_equal(a, b) for a, b in zip(got, frames))
+    assert decode_ppmv(b"NOTAVID") is None
+    # truncated container rejected, not mis-parsed
+    assert decode_ppmv(encode_ppmv(frames, 4)[:-10]) is None
+
+
+def test_sample_frames_decodes_real_frames(media):
+    """Every emitted frame is a decodable P6 PPM matching the declared
+    size; counts follow ceil(n_frames / every_n) for PPMV videos and 0
+    for opaque blobs."""
+    rows = sample_frames(media, every_n=2).collect()
+    assert rows, "no sampled frames"
+    per_vid: dict[int, int] = {}
+    for r in rows:
+        img = decode_ppm(bytes(r["payload"]))
+        assert img is not None and img.shape == (r["height"], r["width"], 3)
+        per_vid[r["media_id"]] = per_vid.get(r["media_id"], 0) + 1
+    vids = media.filter("kind = 'video'").collect()
+    for v in vids:
+        dec = decode_ppmv(bytes(v["payload"]))
+        expect = 0 if dec is None else (len(dec[0]) + 1) // 2
+        assert per_vid.get(v["media_id"], 0) == expect
+    # at least one opaque blob yields zero frames
+    assert any(
+        decode_ppmv(bytes(v["payload"])) is None for v in vids
+    ), "synth corpus lost its opaque-blob rows"

@@ -2,13 +2,16 @@
 columns with typed metadata (training-data-pipeline surface).
 
 The Spark-side plumbing — schema, partitioning, Arrow batch shape, UDF
-signatures — is real and tested, and so are two codecs implemented in
+signatures — is real and tested, and so are three codecs implemented in
 pure numpy (no external media libraries in this container):
 
 * images: binary PPM (P6) — parse, decode to (h, w, 3) uint8, resize
   (area/nearest box sampling), re-encode;
 * audio: RIFF/WAVE PCM 16-bit mono/stereo — parse to float samples,
-  windowed RMS-energy + zero-crossing feature vector.
+  windowed RMS-energy + zero-crossing feature vector;
+* video: PPMV (header + concatenated P6 frames, this module's
+  deterministic container) — parse, per-frame decode, frame sampling
+  (``sample_frames``), mean-over-sampled-frames feature vector.
 
 PIL is used for non-PPM images when importable (it is not baked into this
 container); payloads no codec understands fall back to a deterministic
@@ -58,15 +61,15 @@ def decode_available() -> bool:
 
 
 # ------------------------------------------------------------ PPM codec
-def decode_ppm(payload: bytes) -> np.ndarray | None:
-    """Decode a binary PPM (P6) payload to an (h, w, 3) uint8 array.
-    Returns None if the payload is not a valid P6 PPM."""
-    if payload is None or not payload.startswith(b"P6"):
+def _parse_ppm_at(payload: bytes, offset: int) -> tuple[np.ndarray, int] | None:
+    """Parse one binary PPM (P6) image starting at ``offset``; returns
+    (image (h, w, 3) uint8, end offset) or None if not a valid P6 PPM."""
+    if payload is None or payload[offset : offset + 2] != b"P6":
         return None
     try:
         # header: "P6" <ws> width <ws> height <ws> maxval <single ws> data
         # comments (# ... \n) allowed between tokens
-        pos = 2
+        pos = offset + 2
         fields: list[int] = []
         while len(fields) < 3:
             while pos < len(payload) and payload[pos : pos + 1].isspace():
@@ -84,10 +87,21 @@ def decode_ppm(payload: bytes) -> np.ndarray | None:
         if maxval != 255 or w <= 0 or h <= 0:
             return None
         need = w * h * 3
+        if pos + need > len(payload):
+            return None
         data = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
-        return data.reshape(h, w, 3).copy()
+        return data.reshape(h, w, 3).copy(), pos + need
     except (ValueError, IndexError):
         return None
+
+
+def decode_ppm(payload: bytes) -> np.ndarray | None:
+    """Decode a binary PPM (P6) payload to an (h, w, 3) uint8 array.
+    Returns None if the payload is not a valid P6 PPM."""
+    if payload is None:
+        return None
+    parsed = _parse_ppm_at(bytes(payload), 0)
+    return parsed[0] if parsed else None
 
 
 def encode_ppm(img: np.ndarray) -> bytes:
@@ -118,6 +132,37 @@ def resize_array(img: np.ndarray, width: int, height: int) -> np.ndarray:
         - integ[np.ix_(y1, x0)] + integ[np.ix_(y0, x0)]
     ) / area[:, :, None]
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+# ----------------------------------------------------------- PPMV codec
+# Deterministic video container for this environment (no media libraries
+# in the sandbox): "PPMV" + <u32 n_frames> + <u32 fps> + concatenated
+# binary P6 PPM frames. The decode/sample/feature paths below are REAL
+# parsers over it — swap decode_ppmv for a pyav/ffmpeg binding at
+# deployment and every downstream operator is unchanged.
+def encode_ppmv(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """Encode a list of (h, w, 3) uint8 frames as a PPMV payload."""
+    body = b"".join(encode_ppm(f) for f in frames)
+    return b"PPMV" + struct.pack("<II", len(frames), fps) + body
+
+
+def decode_ppmv(payload: bytes) -> tuple[list[np.ndarray], int] | None:
+    """Decode a PPMV payload to (frames, fps); None if not valid PPMV."""
+    if payload is None or len(payload) < 12 or bytes(payload[:4]) != b"PPMV":
+        return None
+    raw = bytes(payload)
+    n, fps = struct.unpack_from("<II", raw, 4)
+    if fps <= 0 or n <= 0:
+        return None
+    pos = 12
+    frames: list[np.ndarray] = []
+    for _ in range(n):
+        parsed = _parse_ppm_at(raw, pos)
+        if parsed is None:
+            return None
+        frame, pos = parsed
+        frames.append(frame)
+    return frames, fps
 
 
 # ------------------------------------------------------------ WAV codec
@@ -227,6 +272,16 @@ def _decode_features(payload: bytes, kind: str, n_dims: int) -> tuple[bool, np.n
         wav = decode_wav(payload)
         if wav is not None:
             return True, _audio_features(wav[0], wav[1], n_dims)
+    elif kind == "video":
+        vid = decode_ppmv(payload)
+        if vid is not None:
+            frames, _fps = vid
+            step = max(len(frames) // 4, 1)  # sample <= ~4 frames
+            sampled = frames[::step]
+            feat = np.mean(
+                [_image_features(f, n_dims) for f in sampled], axis=0
+            )
+            return True, feat.astype(np.float32)
     return False, _digest_features(payload, n_dims)
 
 
@@ -299,8 +354,8 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: emits (media_id, frame_ts) rows from
-    metadata — timestamp expansion is JVM-side; the per-frame decode would
-    plug into extract_features' kernel table."""
+    metadata — timestamp expansion is JVM-side; the per-frame decode path
+    is ``sample_frames`` below."""
     return (
         media.filter(F.col("kind") == "video")
         .filter(F.col("duration_ms").isNotNull())
@@ -310,6 +365,51 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                 F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
             ).alias("frame_ts_ms"),
         )
+    )
+
+
+FRAME_SCHEMA = (
+    "media_id long, frame_idx int, frame_ts_ms int, payload binary, "
+    "width int, height int"
+)
+
+
+def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling: decode each PPMV video payload and emit every
+    ``every_n``-th frame as a standalone P6 PPM image row (feedable to
+    extract_features / resize_images). Undecodable video payloads are
+    skipped (0 rows), mirroring extract_features' decoded=False contract.
+    mapInPandas: wide binary in, wide binary out, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, idxs, tss, pays, ws, hs = [], [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                vid = decode_ppmv(p)
+                if vid is None:
+                    continue
+                frames, fps = vid
+                for i in range(0, len(frames), max(every_n, 1)):
+                    f = frames[i]
+                    mids.append(mid)
+                    idxs.append(i)
+                    tss.append(i * 1000 // fps)
+                    pays.append(encode_ppm(f))
+                    hs.append(f.shape[0])
+                    ws.append(f.shape[1])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(mids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame_ts_ms": pd.array(tss, dtype="int32"),
+                    "payload": pays,
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                }
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        run, schema=FRAME_SCHEMA
     )
 
 
@@ -331,8 +431,21 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             t = np.arange(int(rng.randint(400, 2000))) / rate
             freq = float(rng.randint(100, 1000))
             payload = encode_wav(0.5 * np.sin(2 * np.pi * freq * t), rate)
-        else:
+        elif i % 6 == 5:
+            # opaque blob: exercises the decoded=False fallback path
             dur = int(rng.randint(1000, 60000))
             payload = rng.bytes(64 + int(rng.randint(0, 64)))
+        else:
+            # real decodable PPMV video: 3-8 small frames
+            fps = 10
+            n_frames = int(rng.randint(3, 9))
+            w, h = int(rng.randint(4, 12)), int(rng.randint(4, 12))
+            frames = [
+                rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+                for _ in range(n_frames)
+            ]
+            payload = encode_ppmv(frames, fps)
+            dur = n_frames * 1000 // fps
+            w = h = None
         rows.append((i, kind, bytearray(payload), w, h, dur))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
