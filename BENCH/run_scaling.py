@@ -254,7 +254,8 @@ Host ceiling: pure-CPU multiprocessing (hashlib loop, warm pools,
 analysis (what shuffles, what stays JVM-side, how hot keys are bounded)
 is in README.md and NOTES.md.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    out_name = os.environ.get("BASELINE_OUT", os.path.join("BENCH", "BASELINE.md"))
+    with open(os.path.join(REPO, out_name), "w") as f:
         f.write(md)
     print(json.dumps(summary))
 
