@@ -45,6 +45,14 @@ def apportion(counts: list[int] | np.ndarray, target: int) -> np.ndarray:
     Invariants (reference asserts, promoted to exceptions here):
     sum(result) == target; every nonzero count keeps >= 1;
     requires n_nonzero <= target <= sum(counts).
+
+    Tie-break (documented deterministic variant): when several rows share
+    the extreme residual, adjust the row with the SMALLEST count value
+    first (then lowest input index). The reference's own tie-break is
+    set-iteration order, i.e. arbitrary (``lib/apportion_counts.py:26-41``);
+    value-ascending is the single rule shared with :func:`apportion_hist`
+    so the two implementations produce identical per-value allocation
+    multisets (property-tested in test_round2_hardening).
     """
     counts = np.asarray(counts, dtype=np.int64)
     total = int(counts.sum())
@@ -61,7 +69,9 @@ def apportion(counts: list[int] | np.ndarray, target: int) -> np.ndarray:
     gap = target - int(result.sum())
 
     while gap > 0:  # under-allocated: bump the most-under row
-        i = int(np.argmin(residual))
+        # lexicographic (residual asc, count value asc); lexsort is stable,
+        # so equal (residual, value) falls back to lowest index
+        i = int(np.lexsort((counts, residual))[0])
         result[i] += 1
         residual[i] += 1
         gap -= 1
@@ -69,7 +79,8 @@ def apportion(counts: list[int] | np.ndarray, target: int) -> np.ndarray:
         # never shrink a row at (or below) 1
         residual = np.where(result <= 1, -np.inf, residual)
         while gap < 0:
-            i = int(np.argmax(residual))
+            # max residual first; ties by count value asc, then index
+            i = int(np.lexsort((counts, -residual))[0])
             result[i] -= 1
             residual[i] = -np.inf if result[i] == 1 else residual[i] - 1
             gap += 1
