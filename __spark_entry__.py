@@ -582,6 +582,280 @@ SELECT query_id, neighbor_id, cos_sim, "rank" FROM (
 ) r WHERE "rank" <= 5""".format(dot=dot, na=nrm("a"), nb=nrm("b"))
 
 
+# --------------------------------------------------------------------
+# END-TO-END flagship oracle: the entire dedup pipeline in one DuckDB
+# query. Feasible because the engine's token hash IS the dialect h64
+# (md5 60-bit prefix, functions/hashing.py::_token_hash64) — every
+# derived fingerprint is integer arithmetic DuckDB reproduces exactly:
+#   * shingle hash: FNV-style uint64 polynomial over token hashes
+#   * MinHash: sig_i = min over shingles of (a_i * x mod 2^64) as int64
+#     (32-bit limb decomposition keeps the multiply inside HUGEINT)
+#   * SimHash: per-bit strict majority over distinct shingle hashes
+#   * substring pass: true winnowing (fwd-min / cov-max windows) +
+#     24-token window polynomial
+#   * LSH buckets: band slice equality (the engine buckets by
+#     xxhash64(band_id, slice); equal slices <=> equal buckets modulo
+#     a 2^-64 collision, documented)
+#   * gate: substring proof OR hamming(simhash)<=3 OR >=32/64 equal
+#     signature positions; directional count[a] >= 2*count[b]-1
+#   * clusters: WITH RECURSIVE reachability; label = best (count desc,
+#     fam_tb asc) seed that reaches the node (the CC fixpoint theorem,
+#     operators/cc.py)
+# Cluster ids are PORTABLE: both sides emit the seed family's fam_tb
+# (min doc_id), never an engine-internal hash.
+# Assumes no LSH bucket exceeds max_bucket_families=512 at oracle scale
+# (verified: overflow_buckets == 0 at sf0.001/sf0.01) — the engine's
+# star+chain fallback for hotter buckets is not mirrored.
+# --------------------------------------------------------------------
+_U64 = "18446744073709551616"   # 2^64
+_I64 = "9223372036854775808"    # 2^63
+_FNV_BASIS_SQL = "1469598103934665603"
+_POLY_SQL = "1099511628211"
+
+
+def _mh_consts(num_perm: int = 64, seed: int = 42) -> list[int]:
+    """The engine's MinHash multipliers (hashing.py::minhash_params),
+    as unsigned 64-bit ints for SQL limb arithmetic."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    a = (rng.randint(-(2**62), 2**62, size=num_perm).astype(np.int64) << 1) | 1
+    return [int(v) % (1 << 64) for v in a]
+
+
+def _mul64_signed(x: str, ua: int) -> str:
+    """SQL: (ua * x) mod 2^64 as SIGNED int64, x an unsigned-64 HUGEINT
+    expr. 32-bit limbs keep every intermediate < 2^65; the +2^63 fold
+    maps to signed without a CASE."""
+    al, ah = ua & 0xFFFFFFFF, ua >> 32
+    return (
+        f"((({al}::HUGEINT * ({x} % 4294967296) + "
+        f"(({al} * ({x} // 4294967296) + {ah} * ({x} % 4294967296)) % 4294967296)"
+        f" * 4294967296 + {_I64}) % {_U64}) - {_I64})::BIGINT"
+    )
+
+
+def _poly_sql(lst: str) -> str:
+    """SQL: FNV-style polynomial fold of a HUGEINT list, mod 2^64."""
+    return (
+        f"list_reduce(list_prepend({_FNV_BASIS_SQL}::HUGEINT, {lst}), "
+        f"(acc, h) -> (acc * {_POLY_SQL} + h) % {_U64})"
+    )
+
+
+def _quality_sql(text: str = "text") -> str:
+    """DuckDB mirror of functions/text.py::quality_score — identical
+    IEEE double arithmetic in identical order (ranks must agree)."""
+    toks = f"string_split_regex(trim(lower({text})), '\\s+')"
+    n_sw = (
+        f"len(list_filter({toks}, t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in STOP["en"]) + "], t)))"
+    )
+    nt = f"len({toks})"
+    punct = (
+        f"(CASE WHEN length({text}) = 0 THEN 0.0 ELSE "
+        f"length(regexp_replace({text}, '[\\sa-zA-Z0-9]', '', 'g'))::DOUBLE"
+        f" / length({text})::DOUBLE END)"
+    )
+    sw = (
+        f"(CASE WHEN {nt} = 0 THEN 0.0 ELSE {n_sw}::DOUBLE / {nt}::DOUBLE END)"
+    )
+    return (
+        f"(0.4 * least(length({text})::DOUBLE / 500.0, 1.0)"
+        f" + 0.3 * (1.0 - {punct}) + 0.3 * least({sw} * 5.0, 1.0))"
+    )
+
+
+def _fingerprint_ctes() -> str:
+    """Shared CTE chain documents -> (docs, fams, thd, shs, shing, sigs,
+    sims): families + shingle hashes + MinHash/SimHash, mirroring the
+    Arrow kernel (functions/hashing.py) value-for-value."""
+    A = _mh_consts()
+    mins = ",\n    ".join(
+        f"min({_mul64_signed('x', a)}) AS m{i}" for i, a in enumerate(A)
+    )
+    bits = ",\n    ".join(
+        f"sum(((x >> {j}) & 1)::BIGINT) AS b{j}" for j in range(64)
+    )
+    sim_lo = " + ".join(
+        f"(CASE WHEN 2 * b{j} > nsh THEN {1 << j}::BIGINT ELSE 0::BIGINT END)"
+        for j in range(63)
+    )
+    sim = (
+        f"({sim_lo} + CASE WHEN 2 * b63 > nsh THEN (-{_I64})::HUGEINT"
+        f" ELSE 0::HUGEINT END)::BIGINT"
+    )
+    mcols = ", ".join(f"m{i}" for i in range(64))
+    return f"""docs AS (
+  -- url mirrors synth.documents_to_pages: doc://{{source}}/{{doc_id}}
+  SELECT doc_id, 'doc://' || source || '/' || doc_id::VARCHAR AS url, text,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+         {_quality_sql()} AS quality
+  FROM documents WHERE text IS NOT NULL AND length(text) >= 8
+),
+fams AS (
+  SELECT norm, count(*) AS fam_count, min(doc_id) AS fam FROM docs GROUP BY norm
+),
+thd AS (
+  SELECT fam, fam_count,
+         list_transform(string_split(norm, ' '),
+           t -> ('0x' || substr(md5(t), 1, 15))::BIGINT::HUGEINT) AS th,
+         len(string_split(norm, ' ')) AS n
+  FROM fams
+),
+shs AS (
+  SELECT fam, fam_count,
+         list_distinct(list_transform(generate_series(1, greatest(n - 4, 1)),
+           i -> {_poly_sql('th[i:i+4]')})) AS sh
+  FROM thd
+),
+shing AS (SELECT fam, unnest(sh) AS x FROM shs),
+sigs AS (
+  SELECT fam,
+    {mins},
+    {bits},
+    count(*) AS nsh
+  FROM shing GROUP BY fam
+),
+sims AS (SELECT fam, {mcols}, {sim} AS simhash FROM sigs)"""
+
+
+def q_flagship_pipeline(d: str) -> str:
+    if d != "d":
+        raise ValueError("duck dialect only — Spark side is the pipeline")
+    band_joins = "\n  UNION ALL\n  ".join(
+        "SELECT a.fam AS src, b.fam AS dst, FALSE AS is_sub FROM sims a "
+        "JOIN sims b ON "
+        + " AND ".join(f"a.m{4 * t + r} = b.m{4 * t + r}" for r in range(4))
+        + " AND a.fam < b.fam"
+        for t in range(16)
+    )
+    n_eq = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(64)
+    )
+    return f"""
+WITH RECURSIVE
+{_fingerprint_ctes()},
+posed AS (
+  SELECT fam, i AS pos, th[i] AS t_h, n
+  FROM thd, UNNEST(generate_series(1, n)) AS u(i)
+),
+fwds AS (
+  SELECT fam, pos, t_h, n,
+         min(t_h) OVER (PARTITION BY fam ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fwd
+  FROM posed
+),
+covs AS (
+  SELECT fam, pos, t_h, n,
+         max(fwd) OVER (PARTITION BY fam ORDER BY pos
+                        ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS cov
+  FROM fwds
+),
+anch AS (SELECT fam, pos FROM covs WHERE cov = t_h AND pos <= n - 23),
+wins AS (
+  SELECT DISTINCT a.fam, {_poly_sql('t.th[a.pos:a.pos+23]')} AS w
+  FROM anch a JOIN thd t ON a.fam = t.fam
+),
+cand AS (
+  {band_joins}
+  UNION ALL
+  SELECT a.fam AS src, b.fam AS dst, TRUE AS is_sub
+  FROM wins a JOIN wins b ON a.w = b.w AND a.fam < b.fam
+),
+pairs AS (SELECT src, dst, max(is_sub) AS is_sub FROM cand GROUP BY src, dst),
+gated AS (
+  SELECT p.src, p.dst, fa.fam_count AS ca, fb.fam_count AS cb
+  FROM pairs p
+  JOIN sims sa ON sa.fam = p.src JOIN sims sb ON sb.fam = p.dst
+  JOIN fams fa ON fa.fam = p.src JOIN fams fb ON fb.fam = p.dst
+  WHERE p.is_sub
+     OR bit_count(xor(sa.simhash, sb.simhash)) <= 3
+     OR ({n_eq}) >= 32
+),
+edges AS (
+  SELECT src, dst FROM gated WHERE ca >= 2 * cb - 1
+  UNION
+  SELECT dst AS src, src AS dst FROM gated WHERE cb >= 2 * ca - 1
+),
+reach AS (
+  SELECT fam AS node, fam_count AS scount, fam AS sfam FROM fams
+  UNION
+  SELECT e.dst, r.scount, r.sfam FROM reach r JOIN edges e ON e.src = r.node
+),
+lab AS (
+  SELECT node, sfam AS cluster_key FROM (
+    SELECT node, sfam,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY scount DESC, sfam ASC) AS rn
+    FROM reach) t
+  WHERE rn = 1
+),
+dfam AS (
+  SELECT d.doc_id, d.url, d.quality, f.fam
+  FROM docs d JOIN fams f ON d.norm = f.norm
+),
+dlab AS (
+  SELECT d.*, l.cluster_key,
+         row_number() OVER (PARTITION BY d.fam
+                            ORDER BY d.quality DESC, d.doc_id ASC) AS exact_rn,
+         row_number() OVER (PARTITION BY l.cluster_key
+                            ORDER BY d.quality DESC, d.doc_id ASC) AS clus_rn
+  FROM dfam d JOIN lab l ON l.node = d.fam
+)
+SELECT doc_id, url, cluster_key AS cluster_id,
+       exact_rn > 1 AS is_exact_duplicate,
+       clus_rn > 1 AS is_duplicate,
+       max(CASE WHEN clus_rn = 1 THEN url END)
+         OVER (PARTITION BY cluster_key) AS rep_url
+FROM dlab"""
+
+
+def q_simhash_fingerprints(d: str) -> str:
+    """Per-DOC 64-bit SimHash of the Arrow kernel, exactly — the former
+    rows-only entry, now oracle-backed because the kernel's token hash is
+    the dialect h64 (see q_flagship_pipeline header)."""
+    if d != "d":
+        raise ValueError("duck dialect only — Spark side is the kernel UDF")
+    bits = ",\n    ".join(
+        f"sum(((x >> {j}) & 1)::BIGINT) AS b{j}" for j in range(64)
+    )
+    sim_lo = " + ".join(
+        f"(CASE WHEN 2 * b{j} > nsh THEN {1 << j}::BIGINT ELSE 0::BIGINT END)"
+        for j in range(63)
+    )
+    sim = (
+        f"({sim_lo} + CASE WHEN 2 * b63 > nsh THEN (-{_I64})::HUGEINT"
+        f" ELSE 0::HUGEINT END)::BIGINT"
+    )
+    return f"""
+WITH ddocs AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+dthd AS (
+  SELECT doc_id,
+         list_transform(string_split(norm, ' '),
+           t -> ('0x' || substr(md5(t), 1, 15))::BIGINT::HUGEINT) AS th,
+         len(string_split(norm, ' ')) AS n
+  FROM ddocs
+),
+dshs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, greatest(n - 4, 1)),
+           i -> {_poly_sql('th[i:i+4]')})) AS sh
+  FROM dthd
+),
+dsh AS (SELECT doc_id, unnest(sh) AS x FROM dshs),
+dsig AS (
+  SELECT doc_id,
+    {bits},
+    count(*) AS nsh
+  FROM dsh GROUP BY doc_id
+)
+SELECT doc_id, {sim} AS simhash, 64::INT AS sig_len FROM dsig"""
+
+
 def q_paired_umi_counts(d: str) -> str:
     """DuckDB oracle for the paired combined-fingerprint flow (reference
     extract_umi_paired.py:30-46 + lib/parse_fastq.py:112-144): mate1 key =
@@ -652,6 +926,10 @@ def _run_sql(name: str):
 
 
 def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL pipeline; oracle = q_flagship_pipeline (end-to-end DuckDB
+    mirror). cluster_id is PORTABLE: the seed family's fam_tb (min doc_id),
+    not the engine-internal norm_hash — the one value both engines can
+    derive."""
     from pyspark.sql import functions as F
 
     from umi_dedup_spark.config import DedupConfig
@@ -661,9 +939,17 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pages = documents_to_pages(docs)
     res = DedupPipeline(spark, DedupConfig()).run(pages)
-    return res.marked.select(
-        "doc_id", "url", "cluster_id", "is_exact_duplicate", "is_duplicate", "rep_url"
-    ).orderBy("doc_id")
+    seed_map = res.clusters.filter(
+        F.col("norm_hash") == F.col("cluster_id")
+    ).select("cluster_id", F.col("fam_tb").alias("cluster_key"))
+    return (
+        res.marked.join(seed_map, "cluster_id")
+        .select(
+            "doc_id", "url", F.col("cluster_key").alias("cluster_id"),
+            "is_exact_duplicate", "is_duplicate", "rep_url",
+        )
+        .orderBy("doc_id")
+    )
 
 
 def _simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -699,15 +985,10 @@ def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(queries, emb, k=5)
 
 
-ROWS_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # the end-to-end pipeline (UDF fingerprints + LSH + CC fixpoint) stays
-    # rows-only: its correctness gate is the pytest oracle-equivalence
-    # suite (test_cluster_equivalence, test_directional, test_pipeline)
-    "flagship_dedup_pipeline": _flagship,
-    # 64-bit pandas-UDF fingerprints: covered relationally by simhash64
-    # (SQL pair) and by tests/test_fingerprints.py chunk checks
-    "simhash_fingerprints": _simhash_fingerprints,
-}
+# every query is oracle-backed as of round 3: the flagship pipeline and
+# the 64-bit kernel fingerprints gained end-to-end DuckDB mirrors when
+# the kernel token hash became the dialect h64 (q_flagship_pipeline).
+ROWS_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
 def _paired_umi_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL paired operator on the Spark side (S8/J2 + combined-key
@@ -751,11 +1032,15 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": _ann_topk,
     "ann_ivf_topk": _ann_ivf_topk,
     "paired_umi_counts": _paired_umi_counts,
+    "flagship_dedup_pipeline": _flagship,
+    "simhash_fingerprints": _simhash_fingerprints,
 }
 OPERATOR_ORACLES: dict[str, Callable[[str], str]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "paired_umi_counts": q_paired_umi_counts,
+    "flagship_dedup_pipeline": q_flagship_pipeline,
+    "simhash_fingerprints": q_simhash_fingerprints,
 }
 
 

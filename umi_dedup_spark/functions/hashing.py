@@ -9,10 +9,15 @@ predicate itself stays JVM-side (``F.bit_count(a ^ b)``), mirroring
 ``lib/sequence_error.py:22-25``.
 
 Hash functions:
-* token/shingle hash: 64-bit blake2b per unique token (cached per Arrow
-  batch, C speed), combined per shingle with a vectorized uint64
-  polynomial — deterministic across runs/processes (unlike Python
-  ``hash``). At cluster scale one would swap in xxhash64; semantics equal.
+* token hash: 60-bit md5 prefix per unique token (cached per Arrow batch,
+  C speed) — first 15 hex chars of md5 as an integer, EXACTLY the dialect
+  ``_h64`` the SQL oracles compute (``('0x'||substr(md5(t),1,15))::BIGINT``
+  in DuckDB), so every derived fingerprint (shingle polynomial, MinHash,
+  SimHash, winnowing windows) is reproducible cross-engine in pure SQL —
+  that is what lets the END-TO-END flagship pipeline have a DuckDB oracle.
+  Shingles combine token hashes with a vectorized uint64 polynomial —
+  deterministic across runs/processes (unlike Python ``hash``). At cluster
+  scale one would swap in xxhash64; semantics equal.
 * MinHash permutations: h_i(x) = (a_i * x) mod 2^64 with seeded odd a_i —
   a bijection of the 64-bit space, so per-permutation argmin is a valid
   MinHash, at one wrapped int64 multiply per element (numpy-fast). The
@@ -36,7 +41,8 @@ _FNV_BASIS = np.uint64(1469598103934665603)
 
 
 def _token_hash64(token: str) -> int:
-    return int.from_bytes(hashlib.blake2b(token.encode(), digest_size=8).digest(), "little")
+    # 60-bit md5 prefix == the SQL dialect's _h64 (cross-engine parity)
+    return int(hashlib.md5(token.encode()).hexdigest()[:15], 16)
 
 
 def token_hashes(toks: list[str], cache: dict) -> np.ndarray:

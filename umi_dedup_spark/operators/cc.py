@@ -69,47 +69,60 @@ def propagate_labels(
         _pack(F.col("fam_count"), F.col("fam_tb"), F.col("fam")).alias("lbl"),
     ).localCheckpoint(eager=True)
 
+    # the hop side is invariant across rounds: partition + sort it by src
+    # ONCE and cache — InMemoryTableScan preserves partitioning/ordering,
+    # so every round's hop join shuffles and sorts only the (small) label
+    # delta side, never the edge table again.
+    edges_by_src = (
+        edges.repartition("src").sortWithinPartitions("src").persist()
+    )
+
     iters = 0
     converged = False
-    for it in range(max_iters):
-        iters += 1
-        incoming = (
-            edges.join(labels, edges.src == labels.fam)
-            .select(F.col("dst").alias("fam"), F.col("lbl"))
-        )
-        # ONE heavy job per round: the old labels ride into the same agg
-        # tagged is_old, so change detection is a column of the checkpoint
-        # (min(all) vs min(old)) instead of a separate join-and-count job —
-        # the fixpoint's serial driver cadence is the scaling bottleneck.
-        cand = labels.withColumn("is_old", F.lit(True)).unionByName(
-            incoming.withColumn("is_old", F.lit(False))
-        )
-        if it > 0:
-            # pointer doubling: adopt the label of the node my label points
-            # at. Skipped in round 0 where every label is self-pointing
-            # (doubling would be an identity self-join).
-            doubled = (
-                labels.alias("x")
-                .join(labels.alias("y"), F.col("x.lbl.fam") == F.col("y.fam"))
-                .select(F.col("x.fam").alias("fam"), F.col("y.lbl").alias("lbl"))
+    try:
+        for it in range(max_iters):
+            iters += 1
+            incoming = (
+                edges_by_src.join(labels, edges_by_src.src == labels.fam)
+                .select(F.col("dst").alias("fam"), F.col("lbl"))
             )
-            cand = cand.unionByName(doubled.withColumn("is_old", F.lit(False)))
-        new_labels = (
-            cand.groupBy("fam")
-            .agg(
-                F.min("lbl").alias("lbl"),
-                F.min(F.when(F.col("is_old"), F.col("lbl"))).alias("old_lbl"),
+            upd = incoming
+            if it > 0:
+                # pointer doubling: adopt the label of the node my label
+                # points at. Skipped in round 0 where every label is
+                # self-pointing (doubling would be an identity self-join).
+                doubled = (
+                    labels.alias("x")
+                    .join(labels.alias("y"), F.col("x.lbl.fam") == F.col("y.fam"))
+                    .select(F.col("x.fam").alias("fam"), F.col("y.lbl").alias("lbl"))
+                )
+                upd = upd.unionByName(doubled)
+            # improvements only ride the shuffle: the full label table is
+            # the left join side (keeps its checkpoint partitioning), the
+            # aggregated candidate minima are the delta side. ONE job per
+            # round: the lazy localCheckpoint's blocks are materialized by
+            # the same action that fetches the change flag.
+            best = upd.groupBy("fam").agg(F.min("lbl").alias("new_lbl"))
+            new_labels = (
+                labels.join(best, "fam", "left")
+                .select(
+                    "fam",
+                    F.when(
+                        F.col("new_lbl") < F.col("lbl"), F.col("new_lbl")
+                    ).otherwise(F.col("lbl")).alias("lbl"),
+                    F.coalesce(
+                        F.col("new_lbl") < F.col("lbl"), F.lit(False)
+                    ).alias("chg"),
+                )
+                .localCheckpoint(eager=False)
             )
-            .select(
-                "fam", "lbl", (F.col("lbl") != F.col("old_lbl")).alias("chg")
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = new_labels.filter("chg").limit(1).count()
-        labels = new_labels.select("fam", "lbl")
-        if changed == 0:
-            converged = True
-            break
+            changed = new_labels.agg(F.max("chg")).collect()[0][0]
+            labels = new_labels.select("fam", "lbl")
+            if not changed:
+                converged = True
+                break
+    finally:
+        edges_by_src.unpersist()
 
     if not converged:
         raise CCNotConverged(

@@ -395,11 +395,15 @@ def deduplicate_counts(
     return out
 
 
+_SIGN_BIT = -0x8000000000000000  # xor maps signed int64 order onto unsigned order
+
+
 def cluster_survivor_counts(
     clustered_fams: DataFrame,
     algorithm: str,
     keyspace: int,
     kmax: int = 10,
+    n_range_buckets: int = 64,
 ) -> DataFrame:
     """Per-cluster estimator, histogram-native: the pandas group handed to
     a Python worker is the (cluster_id, fam_count, n_fams) HISTOGRAM —
@@ -410,9 +414,18 @@ def cluster_survivor_counts(
     Plan shape: groupBy(cluster_id, fam_count) pre-aggregation (map-side
     combine) -> applyInPandas over the tiny histogram -> join the
     (keep_base, n_extra) spec back to families; the n_extra families of a
-    (cluster, value) that receive the +1 are chosen deterministically by
-    (fam_tb asc, norm_hash asc) rank (the reference's own choice is
+    (cluster, value) that receive the +1 are the n_extra SMALLEST by
+    (fam_tb asc, norm_hash asc) (the reference's own choice is
     set-iteration order, i.e. arbitrary — documented variant).
+
+    Skew-safe rank: no window ever partitions by raw (cluster_id,
+    fam_count). fam_tb is a min-of-xxhash64 (uniform int64), so its
+    ``n_range_buckets`` contiguous ranges split a hot group into balanced
+    slices while PRESERVING sort order (equal fam_tb -> same bucket);
+    global rank = per-bucket row_number + per-bucket prefix offset from a
+    tiny (<= n_range_buckets rows/group) aggregate. Rows that cannot
+    receive a +1 (n_extra == 0, or their whole bucket sits past n_extra)
+    bypass the window entirely.
     """
     from pyspark.sql import Window
 
@@ -435,17 +448,53 @@ def cluster_survivor_counts(
         run,
         schema="cluster_id long, fam_count long, n_fams long, keep_base long, n_extra long",
     )
-    w = Window.partitionBy("cluster_id", "fam_count").orderBy(
-        F.asc("fam_tb"), F.asc("norm_hash")
-    )
-    return (
+    shift = 64 - max(1, (n_range_buckets - 1).bit_length())
+    joined = (
         clustered_fams.select("cluster_id", "norm_hash", "fam_count", "fam_tb")
         .join(spec.select("cluster_id", "fam_count", "keep_base", "n_extra"),
               ["cluster_id", "fam_count"])
-        .withColumn("rn", F.row_number().over(w))
+    )
+    out_cols = ["cluster_id", "norm_hash", "fam_count", "n_keep"]
+
+    # groups that apportioned evenly: every member keeps keep_base, no rank
+    zero = joined.filter(F.col("n_extra") == 0).select(
+        "cluster_id", "norm_hash", "fam_count",
+        F.col("keep_base").alias("n_keep"),
+    )
+
+    extra = joined.filter(F.col("n_extra") > 0).withColumn(
+        "rb",
+        F.shiftrightunsigned(F.col("fam_tb").bitwiseXOR(F.lit(_SIGN_BIT)), shift),
+    )
+    bucket_counts = extra.groupBy("cluster_id", "fam_count", "rb").agg(
+        F.count(F.lit(1)).alias("bc")
+    )
+    w_off = (
+        Window.partitionBy("cluster_id", "fam_count")
+        .orderBy("rb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_counts.withColumn(
+        "off", F.coalesce(F.sum("bc").over(w_off), F.lit(0))
+    ).select("cluster_id", "fam_count", "rb", "off")
+
+    with_off = extra.join(offsets, ["cluster_id", "fam_count", "rb"])
+    # buckets entirely past the first n_extra rows can never get a +1
+    no_rank = with_off.filter(F.col("off") >= F.col("n_extra")).select(
+        "cluster_id", "norm_hash", "fam_count",
+        F.col("keep_base").alias("n_keep"),
+    )
+    w_rank = Window.partitionBy("cluster_id", "fam_count", "rb").orderBy(
+        F.asc("fam_tb"), F.asc("norm_hash")
+    )
+    ranked = (
+        with_off.filter(F.col("off") < F.col("n_extra"))
+        .withColumn("rn", F.row_number().over(w_rank))
         .withColumn(
             "n_keep",
-            F.col("keep_base") + (F.col("rn") <= F.col("n_extra")).cast("long"),
+            F.col("keep_base")
+            + (F.col("off") + F.col("rn") <= F.col("n_extra")).cast("long"),
         )
-        .select("cluster_id", "norm_hash", "fam_count", "n_keep")
+        .select(*out_cols)
     )
+    return zero.unionByName(no_rank).unionByName(ranked)

@@ -23,8 +23,13 @@ def prepare_docs(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
 
     Adds: doc_key (64-bit id), norm_text, norm_hash, quality.
     The raw ``text`` column is untouched (byte-identical invariant per url).
-    At 10^12-doc scale doc_key should be a persisted ingest-time id; the
-    xxhash64(url) stand-in has ~n^2/2^64 collision odds (documented).
+    Identity: an explicit doc_id wins; else xxhash64(url, warc_ts) — a
+    re-crawled url (two warc_ts snapshots) is two documents, one of which
+    the exact pass marks duplicate; a plain xxhash64(url) would give both
+    the survivor's key and mark neither. At 10^12-doc scale doc_key should
+    be a persisted ingest-time id; the hash stand-in has ~n^2/2^64
+    collision odds (documented; the final text join dedupes by doc_key so
+    a collision cannot multiply output rows).
     """
     usable = pages.filter(usable_filter(F.col("text"), cfg.min_text_chars))
     # drop wide payload columns (html binary) immediately: every later
@@ -33,13 +38,14 @@ def prepare_docs(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
     keep = [c for c in pages.columns if c != "html"]
     usable = usable.select(*keep)
     norm = normalize_text(F.col("text"), cfg.lowercase, cfg.collapse_whitespace)
+    if "doc_id" in pages.columns:
+        key = F.col("doc_id").cast("long")
+    elif "warc_ts" in pages.columns:
+        key = F.xxhash64(F.col("url"), F.col("warc_ts"))
+    else:
+        key = F.xxhash64(F.col("url"))
     return (
-        usable.withColumn(
-            "doc_key",
-            F.col("doc_id").cast("long")
-            if "doc_id" in pages.columns
-            else F.xxhash64(F.col("url")),
-        )
+        usable.withColumn("doc_key", key)
         # norm_text itself is NOT materialized here: carrying a second
         # text-sized column through the docs checkpoint doubles its bytes
         # (measured 47.6s -> for the 500k-doc stage); the families agg

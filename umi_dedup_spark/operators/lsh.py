@@ -46,7 +46,7 @@ def add_band_hashes(fams: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def candidate_pairs(
-    banded: DataFrame, cfg: DedupConfig
+    banded: DataFrame, cfg: DedupConfig, caches: list[DataFrame] | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Emit canonical candidate pairs (src < dst by norm_hash) per bucket.
 
@@ -60,6 +60,12 @@ def candidate_pairs(
     (src, dst, is_substring). overflow_metrics: one row per oversized
     bucket (band_id, band_hash, bucket_size) — surfaced, never silently
     dropped.
+
+    The shared bucket exchange is ``persist()``-ed (both outputs read it).
+    Pass ``caches`` to receive the persisted DataFrame and ``unpersist()``
+    it once both outputs are materialized — otherwise each call in a
+    long-lived session leaks one cached dataset in executor storage
+    (the pipeline releases it after its pairs/overflow stages).
     """
     bucket = ["band_id", "band_hash"]
     # ONE exchange + ONE sort for the whole stage: the banded rows are
@@ -79,6 +85,8 @@ def candidate_pairs(
         )
         .persist()
     )
+    if caches is not None:
+        caches.append(sorted_banded)
     wb = Window.partitionBy(*bucket)
     sized = sorted_banded.withColumn("bucket_size", F.count(F.lit(1)).over(wb))
 

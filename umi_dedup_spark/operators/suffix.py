@@ -64,22 +64,24 @@ def with_window_hashes(
     return df.withColumn(out_col, udf(F.col(text_col)))
 
 
-def add_window_hashes(fams: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Explode families into content-anchored long-window hash bucket rows
-    (band_id, band_hash) — schema-compatible with the LSH band rows so the
-    two flows share one bucket exchange.
+def window_band_rows(
+    with_hashes: DataFrame, win_col: str = "win_hashes"
+) -> DataFrame:
+    """Map rows that already carry a ``win_col`` array into substring
+    bucket rows (band_id, band_hash) — the ONE place the substring band-row
+    shape lives, shared by :func:`add_window_hashes` and the pipeline
+    (which computes ``win_hashes`` in its fused fingerprint UDF).
 
     The window ordinal is not a meaningful bucket axis (unlike the LSH
     band id): bucketing is purely by content hash so equal windows at
     different ordinals still collide; the constant SUBSTRING_BAND_ID marks
     the rows (and proves the pair — see ``is_substring``).
     """
-    withw = with_window_hashes(fams, cfg)
-    return withw.select(
+    return with_hashes.select(
         "norm_hash",
         "fam_count",
         "fam_tb",
-        F.explode(F.col("win_hashes")).alias("band_hash"),
+        F.explode(F.col(win_col)).alias("band_hash"),
     ).select(
         "norm_hash",
         "fam_count",
@@ -88,6 +90,14 @@ def add_window_hashes(fams: DataFrame, cfg: DedupConfig) -> DataFrame:
         "band_hash",
         F.lit(True).alias("is_substring"),
     )
+
+
+def add_window_hashes(fams: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Explode families into content-anchored long-window hash bucket rows
+    (band_id, band_hash) — schema-compatible with the LSH band rows so the
+    two flows share one bucket exchange.
+    """
+    return window_band_rows(with_window_hashes(fams, cfg))
 
 
 def substring_pairs(fams: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataFrame]:

@@ -45,6 +45,7 @@ from umi_dedup_spark.operators.exact import (
     prepare_docs,
 )
 from umi_dedup_spark.operators.lsh import add_band_hashes, candidate_pairs
+from umi_dedup_spark.operators.suffix import window_band_rows
 from umi_dedup_spark.operators.representative import (
     attach_rep_url,
     cluster_table,
@@ -166,22 +167,14 @@ class DedupPipeline:
             # LSH band rows and substring window rows share one bucket
             # exchange: union first, then a single candidate_pairs pass
             # (one shuffle on (band_id, band_hash), one pair-dedupe agg).
+            # window_band_rows is the shared substring band-row shape —
+            # the pipeline and suffix.add_window_hashes cannot drift.
             banded = add_band_hashes(fams, cfg).unionByName(
-                fams.select(
-                    "norm_hash",
-                    "fam_count",
-                    "fam_tb",
-                    F.explode("win_hashes").alias("band_hash"),
-                ).select(
-                    "norm_hash",
-                    "fam_count",
-                    "fam_tb",
-                    F.lit(1_000_000).alias("band_id"),
-                    "band_hash",
-                    F.lit(True).alias("is_substring"),
-                )
+                window_band_rows(fams)
             )
-            pairs, overflow = candidate_pairs(banded, cfg)
+            pairs, overflow = candidate_pairs(
+                banded, cfg, caches=self._bucket_caches
+            )
             self._overflow_raw = overflow
             return pairs
 
@@ -190,18 +183,25 @@ class DedupPipeline:
         # bucket exchange + self-join executes once per branch (measured:
         # the fused-lazy variant doubled the edges stage wall)
         self._overflow_raw = None
+        self._bucket_caches: list[DataFrame] = []
         pairs = timed("pairs", build_pairs)
 
         # overflow metrics: persisted as their own checkpoint stage (so a
-        # resumed run restores them even when the pairs stage is skipped);
-        # lazy otherwise — summary() materializes on demand.
+        # resumed run restores them even when the pairs stage is skipped).
+        # Materialized eagerly (it is tiny — one row per oversized bucket)
+        # so the shared bucket exchange cache can be released right after.
         over_path = self._ckpt_path("pairs_overflow")
         if over_path and resume and dio.stage_complete(over_path, cfg):
             self.metrics_overflow = dio.read_table(self.spark, over_path)
         elif self._overflow_raw is not None:
             self.metrics_overflow = self._stage(
-                "pairs_overflow", lambda: self._overflow_raw, resume, materialize=False
+                "pairs_overflow", lambda: self._overflow_raw, resume
             )
+        # both consumers of the bucket exchange are materialized — release
+        # the cache (otherwise every run leaks one dataset in storage)
+        for c in self._bucket_caches:
+            c.unpersist()
+        self._bucket_caches.clear()
 
         edges = timed(
             "edges",
@@ -249,9 +249,14 @@ class DedupPipeline:
                     "n_keep",
                     partition_cols=("cluster_id", "norm_hash"),
                 )
-            return attach_rep_url(marked).join(
-                docs_full.select("doc_key", "text"), "doc_key", "left"
-            )
+            # text side deduped by doc_key: the same document can appear
+            # under one doc_key more than once (re-crawled url in inputs
+            # without warc_ts, or a 64-bit key collision) and a raw join
+            # would multiply marked rows many-to-many. min(text) is
+            # deterministic; the agg output is already partitioned by
+            # doc_key so the join adds no extra text exchange.
+            texts = docs_full.groupBy("doc_key").agg(F.min("text").alias("text"))
+            return attach_rep_url(marked).join(texts, "doc_key", "left")
 
         marked = timed("marked", build_marked)
 
