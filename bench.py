@@ -71,12 +71,14 @@ def run_bench(sf_dir: str, cpus: str, synth_docs: int = 50_000, only: str | None
 
     def synth_pipeline():
         pages = spark.read.parquet(corpus_dir)
-        res = DedupPipeline(spark, DedupConfig()).run(pages)
-        return res, res.marked.count()
+        pipe = DedupPipeline(spark, DedupConfig())
+        res = pipe.run(pages)
+        return pipe, res, res.marked.count()
 
     def synth_run():
-        res, n = synth_pipeline()
+        pipe, res, n = synth_pipeline()
         extra["synth_stage_times"] = res.stage_times
+        extra["cc_iterations"] = pipe.cc_iterations
         return n
 
     if not only or only == synth_key:
