@@ -419,9 +419,12 @@ def cluster_survivor_counts(
     set-iteration order, i.e. arbitrary — documented variant).
 
     Skew-safe rank: no window ever partitions by raw (cluster_id,
-    fam_count). fam_tb is a min-of-xxhash64 (uniform int64), so its
-    ``n_range_buckets`` contiguous ranges split a hot group into balanced
-    slices while PRESERVING sort order (equal fam_tb -> same bucket);
+    fam_count). At production scale fam_tb is a min-of-xxhash64 (uniform
+    int64 — prepare_docs hashes url/warc_ts when no ingest id exists), so
+    its ``n_range_buckets`` contiguous ranges split a hot group into
+    balanced slices while PRESERVING sort order (equal fam_tb -> same
+    bucket); with sequential ingest doc_ids the buckets collapse to one
+    (still exact, just unbalanced — identical to the pre-bucketed plan);
     global rank = per-bucket row_number + per-bucket prefix offset from a
     tiny (<= n_range_buckets rows/group) aggregate. Rows that cannot
     receive a +1 (n_extra == 0, or their whole bucket sits past n_extra)

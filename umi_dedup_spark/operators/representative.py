@@ -91,6 +91,36 @@ def mark_survivors(
     return ranked.withColumn("is_duplicate", F.col("dup_rank") > F.col(n_keep_col))
 
 
+def mark_survivors_and_rep(
+    docs_with_cluster: DataFrame,
+    partition_cols: tuple[str, ...] = ("cluster_id",),
+) -> DataFrame:
+    """Fused naive path: in the 1-survivor-per-cluster rule the survivor
+    IS the representative, so ONE ``min(struct(-quality, doc_key, url))``
+    aggregation + ONE join back produces both ``is_duplicate`` and
+    ``rep_url`` — `mark_survivors` followed by `attach_rep_url` computes
+    the identical row twice ((−quality, doc_key) is already a total order,
+    appending url cannot change the min). Halves the agg+join count of
+    the marked stage, whose cost is scheduling-bound fixed overhead that
+    Amdahl-limits N→4N scaling.
+    """
+    surv = docs_with_cluster.groupBy(*partition_cols).agg(
+        F.min(
+            F.struct(
+                (-F.col("quality")).alias("nq"),
+                F.col("doc_key").alias("dk"),
+                F.col("url").alias("u"),
+            )
+        ).alias("best")
+    )
+    return (
+        docs_with_cluster.join(surv, list(partition_cols))
+        .withColumn("is_duplicate", F.col("doc_key") != F.col("best.dk"))
+        .withColumn("rep_url", F.col("best.u"))
+        .drop("best")
+    )
+
+
 def attach_rep_url(marked: DataFrame) -> DataFrame:
     """Broadcast-style map-back: every doc gets the url of its cluster's
     surviving representative (best (quality desc, doc_key asc) among the

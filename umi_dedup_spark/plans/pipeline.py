@@ -50,6 +50,7 @@ from umi_dedup_spark.operators.representative import (
     attach_rep_url,
     cluster_table,
     mark_survivors,
+    mark_survivors_and_rep,
 )
 from umi_dedup_spark.operators.stats import (
     category_counts,
@@ -239,15 +240,18 @@ class DedupPipeline:
                 clustered.select("norm_hash", "cluster_id"), "norm_hash"
             )
             if cfg.algorithm == "naive":
-                marked = mark_survivors(doc_clusters)  # 1 per merged cluster key
+                # fused survivor+representative: one agg+join, not two
+                marked = mark_survivors_and_rep(doc_clusters)
             else:
                 n_keep = cluster_survivor_counts(
                     clustered, cfg.algorithm, cfg.keyspace_size, cfg.kmax
                 ).select("norm_hash", "n_keep")
-                marked = mark_survivors(
-                    doc_clusters.join(n_keep, "norm_hash"),
-                    "n_keep",
-                    partition_cols=("cluster_id", "norm_hash"),
+                marked = attach_rep_url(
+                    mark_survivors(
+                        doc_clusters.join(n_keep, "norm_hash"),
+                        "n_keep",
+                        partition_cols=("cluster_id", "norm_hash"),
+                    )
                 )
             # text side deduped by doc_key: the same document can appear
             # under one doc_key more than once (re-crawled url in inputs
@@ -256,7 +260,7 @@ class DedupPipeline:
             # deterministic; the agg output is already partitioned by
             # doc_key so the join adds no extra text exchange.
             texts = docs_full.groupBy("doc_key").agg(F.min("text").alias("text"))
-            return attach_rep_url(marked).join(texts, "doc_key", "left")
+            return marked.join(texts, "doc_key", "left")
 
         marked = timed("marked", build_marked)
 
