@@ -100,6 +100,40 @@ def test_survivor_counts_randomized_vs_oracle(spark, algorithm):
                      n_range_buckets=4)
 
 
+def test_fused_survivor_rep_equals_two_step(spark):
+    """mark_survivors_and_rep == mark_survivors -> attach_rep_url on the
+    naive path: the survivor IS the representative, and appending url to
+    the (already total) (-quality, doc_key) min-struct order cannot change
+    the chosen row."""
+    from pyspark.sql import functions as F
+
+    from umi_dedup_spark.operators.representative import (
+        attach_rep_url,
+        mark_survivors,
+        mark_survivors_and_rep,
+    )
+
+    rng = random.Random(21)
+    rows = []
+    for cid in range(8):
+        for i in range(rng.randint(1, 12)):
+            rows.append(
+                (cid, cid * 100 + i, f"u{cid}-{i}",
+                 round(rng.random(), 6), rng.randint(0, 3))
+            )
+    df = spark.createDataFrame(
+        rows, "cluster_id long, doc_key long, url string, quality double, x long"
+    )
+    cols = ["cluster_id", "doc_key", "url", "quality", "x",
+            "is_duplicate", "rep_url"]
+    fused = {tuple(r) for r in mark_survivors_and_rep(df).select(*cols).collect()}
+    two_step = {
+        tuple(r)
+        for r in attach_rep_url(mark_survivors(df)).select(*cols).collect()
+    }
+    assert fused == two_step
+
+
 def test_survivor_counts_n_extra_zero_skips_window(spark):
     """A cluster that apportions evenly (naive: every family keeps 1) takes
     the no-window branch; results still exact."""
