@@ -134,6 +134,54 @@ def test_fused_survivor_rep_equals_two_step(spark):
     assert fused == two_step
 
 
+def test_mark_survivors_nkeep_bucketed_vs_bruteforce(spark):
+    """The bucketed n_keep>1 survivor path == brute force (global
+    (quality desc, doc_key asc) sort per family, first n_keep survive),
+    including quality ties, negative doc_keys, and n_keep at group
+    boundaries; the rank window must be doc_key-range-bucketed."""
+    from pyspark.sql import functions as F
+
+    from umi_dedup_spark.operators.representative import mark_survivors
+
+    rng = random.Random(33)
+    rows = []
+    for cid in range(3):
+        for fam in range(4):
+            n = rng.randint(1, 30)
+            n_keep = rng.randint(1, n)
+            qs = [round(rng.choice([0.2, 0.5, 0.9]), 6) for _ in range(n)]
+            for q in qs:
+                rows.append(
+                    (cid, fam, rng.randint(-(2**62), 2**62), q, n_keep)
+                )
+    df = spark.createDataFrame(
+        rows,
+        "cluster_id long, norm_hash long, doc_key long, quality double, n_keep long",
+    )
+    out = mark_survivors(
+        df, "n_keep", partition_cols=("cluster_id", "norm_hash"),
+        n_range_buckets=4,
+    )
+    got = {
+        (r["cluster_id"], r["norm_hash"], r["doc_key"]): r["is_duplicate"]
+        for r in out.collect()
+    }
+    groups: dict[tuple, list] = {}
+    for cid, fam, dk, q, nk in rows:
+        groups.setdefault((cid, fam, nk), []).append((q, dk))
+    want = {}
+    for (cid, fam, nk), members in groups.items():
+        members.sort(key=lambda m: (-m[0], m[1]))
+        for i, (q, dk) in enumerate(members):
+            want[(cid, fam, dk)] = i >= nk
+    assert got == want
+
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            assert "_kb#" in line, f"rank window not range-bucketed: {line}"
+
+
 def test_survivor_counts_n_extra_zero_skips_window(spark):
     """A cluster that apportions evenly (naive: every family keeps 1) takes
     the no-window branch; results still exact."""

@@ -53,10 +53,14 @@ def cluster_representatives(clustered_fams: DataFrame) -> DataFrame:
     )
 
 
+_SIGN_BIT = -0x8000000000000000  # xor maps signed int64 order to unsigned
+
+
 def mark_survivors(
     docs_with_cluster: DataFrame,
     n_keep_col: str | None = None,
     partition_cols: tuple[str, ...] = ("cluster_id",),
+    n_range_buckets: int = 64,
 ) -> DataFrame:
     """E6: within each survivor scope keep the n_keep best (quality desc,
     doc_key asc) docs; flag the rest ``is_duplicate``.
@@ -67,11 +71,20 @@ def mark_survivors(
     apportion n_keep per member *family* (partition_cols =
     (cluster_id, norm_hash)), i.e. the bundle = cluster, keys = families.
 
-    The rank-1 case (n_keep_col=None) is a skew-safe agg+join — a hot
-    cluster never becomes one sorting task. The n_keep>1 estimator path
-    keeps a row_number window, but partitioned per *family* where members
-    share identical norm_text (hence identical quality), bounding the sort
-    to one family.
+    Both paths are skew-safe — NO window ever sorts a whole hot group in
+    one task:
+    * rank-1 (n_keep_col=None): ``min(struct)`` agg + join-back.
+    * n_keep>1: the global (quality desc, doc_key asc) rank decomposes
+      exactly into order-preserving buckets (exact quality value, then
+      ``n_range_buckets`` contiguous doc_key ranges) + per-bucket prefix
+      offsets from a tiny aggregate. A billion-copy family splits across
+      buckets (doc_key is hash-uniform at production scale); the distinct
+      quality count per family is small by construction (members share
+      norm_text — quality varies only through case/whitespace deltas of
+      the raw text). Whole buckets strictly before/after the n_keep
+      boundary skip ranking entirely: only the (at most one per quality
+      level) boundary bucket pays a row_number, bounded to ~group/buckets
+      rows.
     """
     if n_keep_col is None:
         surv = docs_with_cluster.groupBy(*partition_cols).agg(
@@ -86,9 +99,42 @@ def mark_survivors(
             .withColumn("is_duplicate", F.col("doc_key") != F.col("_surv_key"))
             .drop("_surv_key")
         )
-    w = Window.partitionBy(*partition_cols).orderBy(F.desc("quality"), F.asc("doc_key"))
-    ranked = docs_with_cluster.withColumn("dup_rank", F.row_number().over(w))
-    return ranked.withColumn("is_duplicate", F.col("dup_rank") > F.col(n_keep_col))
+
+    pc = list(partition_cols)
+    shift = 64 - max(1, (n_range_buckets - 1).bit_length())
+    d = docs_with_cluster.withColumn(
+        "_kb",
+        F.shiftrightunsigned(F.col("doc_key").bitwiseXOR(F.lit(_SIGN_BIT)), shift),
+    )
+    bcounts = d.groupBy(*pc, "quality", "_kb").agg(F.count(F.lit(1)).alias("_bc"))
+    w_off = (
+        Window.partitionBy(*pc)
+        .orderBy(F.desc("quality"), F.asc("_kb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = bcounts.withColumn(
+        "_off", F.coalesce(F.sum("_bc").over(w_off), F.lit(0))
+    )
+    d2 = d.join(offs, pc + ["quality", "_kb"])
+    helper = ["_kb", "_off", "_bc"]
+
+    nk = F.col(n_keep_col)
+    all_dup = d2.filter(F.col("_off") >= nk).withColumn(
+        "is_duplicate", F.lit(True)
+    )
+    all_keep = d2.filter(F.col("_off") + F.col("_bc") <= nk).withColumn(
+        "is_duplicate", F.lit(False)
+    )
+    w_rank = Window.partitionBy(*pc, "quality", "_kb").orderBy(F.asc("doc_key"))
+    boundary = (
+        d2.filter((F.col("_off") < nk) & (F.col("_off") + F.col("_bc") > nk))
+        .withColumn("_rn", F.row_number().over(w_rank))
+        .withColumn("is_duplicate", F.col("_off") + F.col("_rn") > nk)
+        .drop("_rn")
+    )
+    return (
+        all_dup.unionByName(all_keep).unionByName(boundary).drop(*helper)
+    )
 
 
 def mark_survivors_and_rep(
