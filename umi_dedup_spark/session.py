@@ -22,6 +22,14 @@ def get_spark(
 
     parallelism=None -> ``local[$SPARK_GRAFT_CPUS]`` (default all cores).
     """
+    # Python UDF workers inherit this process's env: keep large numpy
+    # blocks inside the malloc arena instead of mmap/munmap per
+    # allocation, so pages touched by warm_python_workers stay touched —
+    # this host's fresh-page first-touch intermittently degrades ~100x
+    # (see the AlwaysPreTouch comment below), and per-batch mmap churn
+    # re-pays it inside every Arrow UDF stage.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = f"local[{parallelism if parallelism is not None else cpus}]"
     if shuffle_partitions is None:
@@ -38,6 +46,21 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # Pre-touch the initial heap (-Xms + AlwaysPreTouch): this host's
+        # fresh-page first-touch degrades ~75-100x intermittently
+        # (BENCH/host_probe.py; a sustained-copy probe measured 0.4-5 GB/s
+        # for the first ~35s of fresh allocations vs 65 GB/s steady). A
+        # growing heap re-pays that tax inside text-heavy stages — at 500k
+        # synth docs it inflated the pipeline 425s -> 90s when fixed.
+        # Xms is deliberately smaller than Xmx: pre-touching all 48g cost
+        # 277s in one degraded window; 8g covers the working set of the
+        # bench sizes and keeps worst-case session startup bounded. On a
+        # real cluster this is spark.executor.extraJavaOptions.
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{os.environ.get('SPARK_DRIVER_XMS', '8g')} -XX:+AlwaysPreTouch "
+            + os.environ.get("SPARK_DRIVER_JAVA_OPTS", ""),
+        )
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # Arrow batch cap bounds per-python-worker peak memory in the
         # fingerprint kernels (vectorized-across-rows numpy temporaries)
@@ -77,7 +100,11 @@ def warm_python_workers(spark: SparkSession, n: int | None = None) -> None:
     def _touch(s: pd.Series) -> pd.Series:
         from umi_dedup_spark.functions import hashing  # noqa: F401  (import cost)
 
-        a = np.ones(4_000_000, dtype=np.int64)  # ~32MB first-touch
+        # ~128MB first-touch per worker — sized to the fingerprint
+        # kernel's peak batch temporaries; with MALLOC_MMAP_THRESHOLD_
+        # raised (get_spark) the freed block stays in the arena, so the
+        # touched pages are reused by every later Arrow batch
+        a = np.ones(16_000_000, dtype=np.int64)
         return pd.Series(np.full(len(s), int(a[:100].sum())))
 
     spark.range(0, n, 1, n).select(_touch(F.col("id"))).count()
