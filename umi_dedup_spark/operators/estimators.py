@@ -404,6 +404,7 @@ def cluster_survivor_counts(
     keyspace: int,
     kmax: int = 10,
     n_range_buckets: int = 64,
+    caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Per-cluster estimator, histogram-native: the pandas group handed to
     a Python worker is the (cluster_id, fam_count, n_fams) HISTOGRAM —
@@ -451,6 +452,12 @@ def cluster_survivor_counts(
         run,
         schema="cluster_id long, fam_count long, n_fams long, keep_base long, n_extra long",
     )
+    # three output branches (zero / no_rank / ranked) each consume spec;
+    # persist the tiny table so the hist agg + pandas estimator run once,
+    # not three times. Pass ``caches`` to release it after materializing.
+    spec = spec.persist()
+    if caches is not None:
+        caches.append(spec)
     shift = 64 - max(1, (n_range_buckets - 1).bit_length())
     joined = (
         clustered_fams.select("cluster_id", "norm_hash", "fam_count", "fam_tb")

@@ -244,7 +244,8 @@ class DedupPipeline:
                 marked = mark_survivors_and_rep(doc_clusters)
             else:
                 n_keep = cluster_survivor_counts(
-                    clustered, cfg.algorithm, cfg.keyspace_size, cfg.kmax
+                    clustered, cfg.algorithm, cfg.keyspace_size, cfg.kmax,
+                    caches=self._marked_caches,
                 ).select("norm_hash", "n_keep")
                 marked = attach_rep_url(
                     mark_survivors(
@@ -262,7 +263,11 @@ class DedupPipeline:
             texts = docs_full.groupBy("doc_key").agg(F.min("text").alias("text"))
             return marked.join(texts, "doc_key", "left")
 
+        self._marked_caches: list[DataFrame] = []
         marked = timed("marked", build_marked)
+        for c in self._marked_caches:
+            c.unpersist()
+        self._marked_caches.clear()
 
         result = PipelineResult(marked=marked, clusters=clustered, stage_times=times)
         return result
