@@ -938,7 +938,10 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pages = documents_to_pages(docs)
-    res = DedupPipeline(spark, DedupConfig()).run(pages)
+    pipe = DedupPipeline(spark, DedupConfig())
+    res = pipe.run(pages)
+    # oracle validity envelope: the SQL mirror assumes all-pairs buckets
+    pipe.assert_no_bucket_overflow()
     seed_map = res.clusters.filter(
         F.col("norm_hash") == F.col("cluster_id")
     ).select("cluster_id", F.col("fam_tb").alias("cluster_key"))

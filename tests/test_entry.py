@@ -79,11 +79,10 @@ def test_sql_query_matches_oracle(spark, duck, name):
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
 
 
-@pytest.mark.parametrize("name", sorted(entry_mod.ROWS_ONLY))
-def test_rows_only_queries_run(spark, name):
-    df = entry_mod.ROWS_ONLY[name](spark, SF_DIR)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+def test_no_rows_only_queries():
+    # every query is oracle-backed (round 3); a future rows-only query
+    # must re-add the per-query execution check that lived here
+    assert entry_mod.ROWS_ONLY == {}
 
 
 def test_entry_smoke(spark):

@@ -35,6 +35,15 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Version tag of the fingerprint VALUE semantics (token hash + shingle
+# combiner + MinHash family + SimHash + winnowing). Checkpoint manifests
+# record it and resume refuses a mismatch: a kernel change (e.g. the
+# round-3 blake2b -> md5 token-hash switch) invalidates every persisted
+# fingerprint even under an identical DedupConfig — reusing such a
+# snapshot would be self-consistent but diverge from fresh runs and from
+# the SQL oracles. Bump whenever any emitted hash value can change.
+HASH_DIALECT = "md5-60bit/fnv-poly/mul64-minhash/v1"
+
 MERSENNE31 = np.uint64((1 << 31) - 1)
 _POLY = np.uint64(1099511628211)  # FNV prime as shingle combiner multiplier
 _FNV_BASIS = np.uint64(1469598103934665603)
@@ -83,8 +92,9 @@ def _combine_windows(th: np.ndarray, k: int) -> np.ndarray:
 def shingle_hashes(text: str, k: int, _cache: dict | None = None) -> np.ndarray:
     """Distinct uint64 hashes of the k-token shingles of ``text``.
 
-    Vectorized: per-unique-token blake2b (C), then a sliding-window
-    polynomial combine in numpy. Docs with <= k tokens hash as one shingle.
+    Vectorized: per-unique-token 60-bit md5 prefix (C, == the SQL oracle's
+    ``_h64`` dialect), then a sliding-window polynomial combine in numpy.
+    Docs with <= k tokens hash as one shingle.
     """
     toks = text.split()
     if not toks:

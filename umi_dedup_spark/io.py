@@ -22,6 +22,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 from umi_dedup_spark.config import DedupConfig
+from umi_dedup_spark.functions.hashing import HASH_DIALECT
 
 MANIFEST_NAME = "_manifest.json"
 
@@ -123,6 +124,7 @@ def write_table(
         "wall_sec": round(time.time() - t0, 3),
         "complete": True,
         "config": asdict(config) if config else None,
+        "dialect": HASH_DIALECT,
         "extra": extra or {},
     }
     _write_manifest(spark, path_or_tbl, manifest)
@@ -149,9 +151,12 @@ def read_frequency_table(spark: SparkSession, path: str) -> DataFrame:
 def stage_complete(path: str, config: DedupConfig | None = None) -> bool:
     """True iff a previous run finished writing this stage (resume check)
     AND — when ``config`` is given — it was written under the *same*
-    config. A checkpoint written under different shingle/signature/
-    threshold settings is stale (different docs/families/pairs) and must
-    be recomputed, never silently mixed into this run's output."""
+    config AND the same hash dialect. A checkpoint written under different
+    shingle/signature/threshold settings, or by a build whose fingerprint
+    kernel emits different values (``HASH_DIALECT`` mismatch, e.g. the
+    blake2b->md5 token-hash switch), is stale (different docs/families/
+    pairs) and must be recomputed, never silently mixed into this run's
+    output."""
     try:
         manifest = read_manifest(path)
     except Exception:
@@ -159,7 +164,10 @@ def stage_complete(path: str, config: DedupConfig | None = None) -> bool:
     if not manifest or not manifest.get("complete"):
         return False
     if config is not None:
-        return manifest.get("config") == asdict(config)
+        return (
+            manifest.get("config") == asdict(config)
+            and manifest.get("dialect") == HASH_DIALECT
+        )
     return True
 
 

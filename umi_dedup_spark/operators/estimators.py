@@ -68,22 +68,36 @@ def apportion(counts: list[int] | np.ndarray, target: int) -> np.ndarray:
     residual = result - ideal  # positive => over-allocated
     gap = target - int(result.sum())
 
-    while gap > 0:  # under-allocated: bump the most-under row
-        # lexicographic (residual asc, count value asc); lexsort is stable,
-        # so equal (residual, value) falls back to lowest index
-        i = int(np.lexsort((counts, residual))[0])
-        result[i] += 1
-        residual[i] += 1
-        gap -= 1
-    if gap < 0:
-        # never shrink a row at (or below) 1
-        residual = np.where(result <= 1, -np.inf, residual)
+    if gap > 0:
+        # under-allocated: bump the most-under rows, lexicographic
+        # (residual asc, count value asc, index asc). One sorted walk is
+        # EXACT per-step semantics: initial residuals lie in (-1, 1], so a
+        # bumped row's residual exceeds 0 — if it were still the minimum,
+        # every residual would be positive and the remaining gap (equal to
+        # -sum(residual)) already negative, a contradiction; hence no row
+        # is ever picked twice and un-bumped rows keep their order.
+        # (|gap| < n always: each |result_i - ideal_i| < 1.)
+        order = np.lexsort((counts, residual))[:gap]
+        result[order] += 1
+    elif gap < 0:
+        # over-allocated: shrink max residual first (ties count value asc,
+        # then index), never below 1. A single walk is NOT exact here — a
+        # lone eligible row legitimately absorbs several decrements (e.g.
+        # many floor-up-to-1 rows overshooting onto one large row) — so
+        # keep per-step argmax via a heap on the same composite key:
+        # O(|gap| log n) instead of the previous full lexsort per step.
+        import heapq
+
+        heap = [
+            (-residual[i], counts[i], i) for i in range(len(result)) if result[i] > 1
+        ]
+        heapq.heapify(heap)
         while gap < 0:
-            # max residual first; ties by count value asc, then index
-            i = int(np.lexsort((counts, -residual))[0])
+            negr, c, i = heapq.heappop(heap)
             result[i] -= 1
-            residual[i] = -np.inf if result[i] == 1 else residual[i] - 1
             gap += 1
+            if result[i] > 1:  # rows at 1 leave the pool (keep >= 1)
+                heapq.heappush(heap, (negr + 1.0, c, i))
     assert int(result.sum()) == target
     return result
 
@@ -454,9 +468,12 @@ def cluster_survivor_counts(
     )
     # three output branches (zero / no_rank / ranked) each consume spec;
     # persist the tiny table so the hist agg + pandas estimator run once,
-    # not three times. Pass ``caches`` to release it after materializing.
-    spec = spec.persist()
+    # not three times — but ONLY when the caller passes ``caches`` to
+    # release it after materializing (the pipeline does). A bare call
+    # stays lazy: the deterministic estimator recomputes per branch
+    # rather than leaking one cached dataset per call in a long session.
     if caches is not None:
+        spec = spec.persist()
         caches.append(spec)
     shift = 64 - max(1, (n_range_buckets - 1).bit_length())
     joined = (

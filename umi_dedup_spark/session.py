@@ -12,6 +12,48 @@ import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import SparkSession
 
 
+_DRIVER_OPTS_KEY = "spark.driver.extraJavaOptions"
+
+
+def _available_mem_bytes() -> int | None:
+    """MemAvailable from /proc/meminfo (Linux); None if unreadable."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    return None
+
+
+def _parse_size_bytes(s: str) -> int:
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(s[-1].lower())
+    return int(s[:-1]) * mult if mult else int(s)
+
+
+def _driver_java_opts(extra_conf: dict[str, str] | None) -> str:
+    """Compose the pre-touch defaults with caller-supplied JVM opts.
+
+    The Xms/AlwaysPreTouch pair is only injected when the host has
+    comfortably more available memory than the Xms target (1.5x headroom)
+    — on a small host the un-touched lazy heap is strictly safer.
+    SPARK_DRIVER_XMS=0 disables the pre-touch explicitly.
+    """
+    xms = os.environ.get("SPARK_DRIVER_XMS", "8g")
+    parts = []
+    if xms not in ("0", "", "none"):
+        avail = _available_mem_bytes()
+        if avail is None or avail >= int(_parse_size_bytes(xms) * 1.5):
+            parts.append(f"-Xms{xms} -XX:+AlwaysPreTouch")
+    env_opts = os.environ.get("SPARK_DRIVER_JAVA_OPTS", "")
+    if env_opts:
+        parts.append(env_opts)
+    if extra_conf and extra_conf.get(_DRIVER_OPTS_KEY):
+        parts.append(extra_conf[_DRIVER_OPTS_KEY])
+    return " ".join(parts)
+
+
 def get_spark(
     app_name: str = "umi_dedup_spark",
     parallelism: int | None = None,
@@ -55,12 +97,13 @@ def get_spark(
         # Xms is deliberately smaller than Xmx: pre-touching all 48g cost
         # 277s in one degraded window; 8g covers the working set of the
         # bench sizes and keeps worst-case session startup bounded. On a
-        # real cluster this is spark.executor.extraJavaOptions.
-        .config(
-            "spark.driver.extraJavaOptions",
-            f"-Xms{os.environ.get('SPARK_DRIVER_XMS', '8g')} -XX:+AlwaysPreTouch "
-            + os.environ.get("SPARK_DRIVER_JAVA_OPTS", ""),
-        )
+        # real cluster this is spark.executor.extraJavaOptions. The
+        # pre-touch default is GATED on free memory (hosts with less
+        # available than the Xms target would stall or OOM at JVM start)
+        # and composed with — not clobbered by — any caller opts (env var
+        # and extra_conf both merge; extra_conf wins on duplicate flags
+        # because the JVM takes the last occurrence).
+        .config("spark.driver.extraJavaOptions", _driver_java_opts(extra_conf))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # Arrow batch cap bounds per-python-worker peak memory in the
         # fingerprint kernels (vectorized-across-rows numpy temporaries)
@@ -74,6 +117,8 @@ def get_spark(
         )
     )
     for k, v in (extra_conf or {}).items():
+        if k == _DRIVER_OPTS_KEY:
+            continue  # already merged into the composed driver opts above
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
