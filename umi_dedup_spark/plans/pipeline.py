@@ -129,6 +129,7 @@ class DedupPipeline:
             times[name] = round(time.time() - t0, 3)
             return out
 
+        self._ingest_has_doc_id = "doc_id" in pages.columns
         # docs_full stays LAZY (usable filter + hash/quality projection
         # over the source); the persisted docs table is NARROW — no text.
         # Text is consumed exactly twice, both as lazy source re-scans:
@@ -259,8 +260,17 @@ class DedupPipeline:
             # without warc_ts, or a 64-bit key collision) and a raw join
             # would multiply marked rows many-to-many. min(text) is
             # deterministic; the agg output is already partitioned by
-            # doc_key so the join adds no extra text exchange.
-            texts = docs_full.groupBy("doc_key").agg(F.min("text").alias("text"))
+            # doc_key so the join adds no extra text exchange. When the
+            # ingest carries an explicit doc_id, doc_key IS that id
+            # (prepare_docs) and unique by ingest contract — skip the
+            # text-sized sort+agg entirely and join the raw projection
+            # (the round-3 agg was a suspect in the flagship bench
+            # regression: a full-corpus sort of the payload column that
+            # buys nothing when keys are unique by construction).
+            if self._ingest_has_doc_id:
+                texts = docs_full.select("doc_key", "text")
+            else:
+                texts = docs_full.groupBy("doc_key").agg(F.min("text").alias("text"))
             return marked.join(texts, "doc_key", "left")
 
         self._marked_caches: list[DataFrame] = []
