@@ -93,6 +93,30 @@ def test_stage_complete_rejects_foreign_hash_dialect(spark, tmp_path):
     assert dio.stage_complete(path)
 
 
+def test_fingerprint_max_tokens_cap(spark):
+    # cap semantics: fingerprint(text, cap=N) == fingerprint(first N
+    # tokens); cap >= len is the identity
+    import pandas as pd
+
+    from umi_dedup_spark.functions.hashing import _fingerprint_batch
+
+    long_doc = " ".join(f"tok{i % 37}x{i % 11}" for i in range(400))
+    head = " ".join(long_doc.split()[:100])
+    full = pd.Series([long_doc])
+    sig_cap, sim_cap, win_cap = _fingerprint_batch(
+        full, 5, 64, 42, window_tokens=24, anchor_stride=8, max_tokens=100
+    )
+    sig_head, sim_head, win_head = _fingerprint_batch(
+        pd.Series([head]), 5, 64, 42, window_tokens=24, anchor_stride=8
+    )
+    assert (sig_cap[0] == sig_head[0]).all()
+    assert sim_cap[0] == sim_head[0]
+    assert (win_cap[0] == win_head[0]).all()
+    sig_id, sim_id, _ = _fingerprint_batch(full, 5, 64, 42, max_tokens=10_000)
+    sig_raw, sim_raw, _ = _fingerprint_batch(full, 5, 64, 42)
+    assert (sig_id[0] == sig_raw[0]).all() and sim_id[0] == sim_raw[0]
+
+
 def test_apportion_repeated_decrement_single_eligible_row():
     # ideal = [10, 0.1 x10] -> safe_round floors the ten 0.1s up to 1 each:
     # sum 20 vs target 11, gap -9, and the ONLY row above 1 is row 0 — it

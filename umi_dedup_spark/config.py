@@ -48,6 +48,18 @@ class DedupConfig:
     substring_window_tokens: int = 24   # tokens per verbatim window
     substring_anchor_stride: int = 8    # expected gap between anchors
 
+    # --- fingerprint input cap (perf knob, default OFF) ---
+    # When set, every fingerprint (shingles -> MinHash/SimHash, winnowing
+    # windows) is computed over only the FIRST N tokens of norm_text.
+    # Semantics change, documented: two documents identical in their first
+    # N tokens are near-dup candidates even if their tails differ, and a
+    # verbatim overlap living entirely past token N is invisible to the
+    # substring pass. At 100 TB the long tail of a web page is usually
+    # boilerplate, so a cap of a few thousand tokens trades a small recall
+    # risk for bounding per-doc kernel cost; the SQL oracles do NOT mirror
+    # the cap, so oracle-compared runs must leave it None.
+    fingerprint_max_tokens: int | None = None
+
     # --- skew / bucket control ---
     max_bucket_families: int = 512   # all-pairs cap per LSH bucket
     salt_buckets: int = 8            # salt factor for hot-key aggregations

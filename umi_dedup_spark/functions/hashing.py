@@ -54,6 +54,27 @@ def _token_hash64(token: str) -> int:
     return int(hashlib.md5(token.encode()).hexdigest()[:15], 16)
 
 
+# Worker-process-persistent token-hash cache. Spark reuses Python UDF
+# workers across Arrow batches (and across stages within a session), and
+# web text repeats its vocabulary heavily across documents — boilerplate,
+# stopwords, navigation chrome — so md5 of the same token was being
+# recomputed once per batch under the old per-batch dict. Sharing one
+# module-level dict makes the md5 cost amortize to once per unique token
+# per WORKER LIFETIME. Pure value cache: the md5 mapping is immutable, so
+# a hit can never change a fingerprint (oracle parity unaffected).
+# Eviction is whole-dict clear past a size cap — crude, but hot tokens
+# re-warm in one batch and the cap bounds worker RSS (~512k entries at
+# ~100B each ≈ 50MB/worker). Workers are single-threaded: no locking.
+_TOKEN_CACHE_CAP = 1 << 19
+_TOKEN_CACHE: dict = {}
+
+
+def shared_token_cache() -> dict:
+    if len(_TOKEN_CACHE) > _TOKEN_CACHE_CAP:
+        _TOKEN_CACHE.clear()
+    return _TOKEN_CACHE
+
+
 def token_hashes(toks: list[str], cache: dict) -> np.ndarray:
     """uint64 hash per token; md5 runs once per UNIQUE token.
 
@@ -186,6 +207,7 @@ def simhash64(hashes: np.ndarray) -> int:
 def _fingerprint_batch(
     texts: pd.Series, k: int, num_perm: int, seed: int,
     window_tokens: int | None = None, anchor_stride: int | None = None,
+    max_tokens: int | None = None,
 ) -> tuple[list[np.ndarray], np.ndarray, list[np.ndarray] | None]:
     """Batch kernel, vectorized ACROSS rows: all rows' shingle hashes are
     flattened into one array and the permutation mins / bit votes are
@@ -200,11 +222,15 @@ def _fingerprint_batch(
     from the SAME per-token hashes — one tokenization per doc covers
     MinHash, SimHash, and the substring windows.
     """
-    cache: dict = {}
+    cache = shared_token_cache()
     rows: list[np.ndarray] = []
     wins: list[np.ndarray] | None = [] if window_tokens else None
     for t in texts:
         toks = (t if isinstance(t, str) else "").split() or [""]
+        if max_tokens is not None and len(toks) > max_tokens:
+            # fingerprint_max_tokens cap (config.py): bound per-doc kernel
+            # cost by fingerprinting only the document prefix
+            toks = toks[:max_tokens]
         th = token_hashes(toks, cache)
         rows.append(_combine_windows(th, k))
         if wins is not None:
@@ -252,6 +278,7 @@ def _fingerprint_batch(
 def make_fingerprint_udf(
     k: int, num_perm: int, seed: int,
     window_tokens: int | None = None, anchor_stride: int | None = None,
+    max_tokens: int | None = None,
 ):
     """pandas_udf: text -> struct(minhash array<long>, simhash long[,
     win_hashes array<long>]).
@@ -271,7 +298,7 @@ def make_fingerprint_udf(
     @F.pandas_udf(schema)
     def fingerprint_udf(texts: pd.Series) -> pd.DataFrame:
         sigs, sims, wins = _fingerprint_batch(
-            texts, k, num_perm, seed, window_tokens, anchor_stride
+            texts, k, num_perm, seed, window_tokens, anchor_stride, max_tokens
         )
         out = {"minhash": sigs, "simhash": sims}
         if window_tokens:
@@ -299,7 +326,7 @@ def make_window_hash_udf(anchor_stride: int, window_tokens: int):
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def window_hash_udf(texts: pd.Series) -> pd.Series:
-        cache: dict = {}
+        cache = shared_token_cache()
         out = []
         for t in texts:
             toks = (t if isinstance(t, str) else "").split() or [""]
@@ -315,7 +342,7 @@ def make_simhash_udf(k: int):
 
     @F.pandas_udf(T.LongType())
     def simhash_udf(texts: pd.Series) -> pd.Series:
-        cache: dict = {}
+        cache = shared_token_cache()
         out = np.empty(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
             out[i] = simhash64(shingle_hashes(t if isinstance(t, str) else "", k, cache))

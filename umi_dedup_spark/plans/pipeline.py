@@ -149,6 +149,7 @@ class DedupPipeline:
             fp_udf = make_fingerprint_udf(
                 cfg.shingle_k, cfg.num_perm, cfg.seed,
                 cfg.substring_window_tokens, cfg.substring_anchor_stride,
+                cfg.fingerprint_max_tokens,
             )
             return (
                 exact_families(docs_full, cfg)
