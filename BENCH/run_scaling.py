@@ -117,6 +117,8 @@ def run_leg(cpus: int) -> dict:
         SPARK_GRAFT_CPUS=str(cpus),
         BENCH_SYNTH_DOCS=str(DOCS),
         BENCH_WARMUP_RUNS=os.environ.get("BENCH_WARMUP_RUNS", "1"),
+        # outlier control here is the multi-run median per leg
+        BENCH_QUERY_REPS="1",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), f"synth_dedup_{DOCS // 1000}k"],

@@ -51,6 +51,9 @@ def run_leg(cwd: str, cpus: int) -> float:
         SPARK_GRAFT_CPUS=str(cpus),
         BENCH_SYNTH_DOCS=str(DOCS),
         BENCH_WARMUP_RUNS=os.environ.get("BENCH_WARMUP_RUNS", "1"),
+        # the protocol's outlier control is the 5-run median per leg;
+        # keep one timed pipeline per subprocess
+        BENCH_QUERY_REPS="1",
     )
     out = subprocess.run(
         [sys.executable, "bench.py", KEY],
