@@ -888,7 +888,6 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "lang_id": q_lang_id,
     "rolling_fingerprint": q_rolling_fingerprint,
     "minhash_sketch": q_minhash_sketch,
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "cosine_pairs": q_cosine_pairs,
     "doc_embedding_join": q_doc_embedding_join,
     "category_counts": q_category_counts,
@@ -1017,6 +1016,27 @@ def _paired_umi_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paired_key_counts(pairs)
 
 
+def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL set-similarity join (operators/setsim.py — prefix-filtered
+    inverted-index plan, no quadratic per-group self-join); oracle =
+    q_ngram_jaccard_pairs, the quadratic all-pairs mirror. Identical
+    output by the prefix-filter theorem: pruning only drops pairs that
+    provably cannot reach the threshold."""
+    from pyspark.sql import functions as F
+
+    from umi_dedup_spark.operators.setsim import jaccard_similarity_join
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tset = docs.select(
+        "doc_id",
+        "source",
+        F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")).alias("tset"),
+    )
+    return jaccard_similarity_join(
+        tset, id_col="doc_id", group_col="source", threshold=0.5
+    )
+
+
 def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF scale path (operators/similarity.ivf_topk) with explicit
     deterministic centroids so the DuckDB oracle can mirror the cell
@@ -1036,6 +1056,7 @@ def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": _ann_topk,
     "ann_ivf_topk": _ann_ivf_topk,
+    "ngram_jaccard_pairs": _ngram_jaccard,
     "paired_umi_counts": _paired_umi_counts,
     "flagship_dedup_pipeline": _flagship,
     "simhash_fingerprints": _simhash_fingerprints,
@@ -1043,6 +1064,7 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 OPERATOR_ORACLES: dict[str, Callable[[str], str]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "paired_umi_counts": q_paired_umi_counts,
     "flagship_dedup_pipeline": q_flagship_pipeline,
     "simhash_fingerprints": q_simhash_fingerprints,
