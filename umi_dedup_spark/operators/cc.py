@@ -45,13 +45,24 @@ class CCNotConverged(RuntimeError):
 
 
 def propagate_labels(
-    nodes: DataFrame, edges: DataFrame, max_iters: int = 25
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iters: int = 25,
+    num_partitions: int | None = None,
 ) -> tuple[DataFrame, int]:
     """Fixpoint: label(n) = best-priority node among {m: m ->* n} ∪ {n}.
 
     nodes: (fam, fam_count, fam_tb). edges: directed (src, dst).
     Returns (labels, iterations): labels = (fam, cluster_id) where
     cluster_id is the seed family's norm_hash.
+
+    ``num_partitions``: explicit partition width for the fixpoint working
+    set (labels, edges, and each round's aggregation). The loop's data is
+    the edge-touched families only, and each round is a chain of small
+    sequential stage waves — when the working set is far smaller than
+    ``spark.sql.shuffle.partitions``, per-task overhead dominates every
+    round. The caller sizes this from the (already materialized) edge
+    count; None keeps the session default (the right answer at scale).
 
     Convergence is O(log diameter), not O(diameter): each round combines
     (a) one edge hop (neighbor labels) with (b) pointer doubling — every
@@ -67,15 +78,20 @@ def propagate_labels(
     labels = nodes.select(
         F.col("fam"),
         _pack(F.col("fam_count"), F.col("fam_tb"), F.col("fam")).alias("lbl"),
-    ).localCheckpoint(eager=True)
+    )
+    if num_partitions is not None:
+        labels = labels.repartition(num_partitions, "fam")
+    labels = labels.localCheckpoint(eager=True)
 
     # the hop side is invariant across rounds: partition + sort it by src
     # ONCE and cache — InMemoryTableScan preserves partitioning/ordering,
     # so every round's hop join shuffles and sorts only the (small) label
     # delta side, never the edge table again.
     edges_by_src = (
-        edges.repartition("src").sortWithinPartitions("src").persist()
-    )
+        edges.repartition(num_partitions, "src")
+        if num_partitions is not None
+        else edges.repartition("src")
+    ).sortWithinPartitions("src").persist()
 
     iters = 0
     converged = False
@@ -102,6 +118,14 @@ def propagate_labels(
             # aggregated candidate minima are the delta side. ONE job per
             # round: the lazy localCheckpoint's blocks are materialized by
             # the same action that fetches the change flag.
+            if num_partitions is not None:
+                # land the agg on the labels' width: HashPartitioning(fam)
+                # satisfies the agg's required distribution, so the agg
+                # runs in place and the left join is co-partitioned — one
+                # narrow exchange per round instead of agg-width + rewidth.
+                # (Skipping map-side partial agg is free here: this branch
+                # only fires when the working set is small.)
+                upd = upd.repartition(num_partitions, "fam")
             best = upd.groupBy("fam").agg(F.min("lbl").alias("new_lbl"))
             new_labels = (
                 labels.join(best, "fam", "left")

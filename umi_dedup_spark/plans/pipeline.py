@@ -224,7 +224,22 @@ class DedupPipeline:
             nodes = fams.select(
                 F.col("norm_hash").alias("fam"), "fam_count", "fam_tb"
             ).join(touched, "fam", "left_semi")
-            labels, iters = propagate_labels(nodes, edges, cfg.cc_max_iters)
+            # size the fixpoint's partition width from the edge count —
+            # edges is persisted+counted by its own stage, so this count
+            # reads the cache. Small working sets collapse to a few
+            # partitions (per-task overhead dominated every round at
+            # session width); web-scale edge sets keep the full width.
+            n_edges = edges.count()
+            fixpoint_p = max(
+                1,
+                min(
+                    cfg.shuffle_partitions,
+                    -(-n_edges // max(1, cfg.cc_rows_per_partition)),
+                ),
+            )
+            labels, iters = propagate_labels(
+                nodes, edges, cfg.cc_max_iters, num_partitions=fixpoint_p
+            )
             self.cc_iterations = iters
             return labels
 
