@@ -48,9 +48,13 @@ def run_bench(sf_dir: str, cpus: str, synth_docs: int = 50_000, only: str | None
     # engine (that is exactly how round 3 recorded 44.6s for a pipeline
     # that measures 24.7s median under an interleaved A/B). Min-of-reps
     # is the standard steady-state estimator under asymmetric noise; the
-    # raw walls stay in the JSON so a reader can see the spread. Each rep
-    # rebuilds its whole lineage (new DataFrames), so rep 2 re-times the
-    # full computation, warm like any long-lived production executor.
+    # raw walls stay in the JSON so a reader can see the spread. Every
+    # rep is COLD-LINEAGE: rebuilding the DataFrames is not enough —
+    # Spark's CacheManager matches canonicalized plans, so a rep-2 plan
+    # identical to rep 1's would silently read rep 1's persisted stage
+    # caches — so the cache is cleared before every timed rep. What stays
+    # warm is the JVM (codegen, JIT) and the OS page cache, i.e. the
+    # steady state of a long-lived production executor.
     reps = max(1, int(os.environ.get("BENCH_QUERY_REPS", "2")))
 
     def timed(name, fn):
@@ -59,6 +63,7 @@ def run_bench(sf_dir: str, cpus: str, synth_docs: int = 50_000, only: str | None
         n = None
         walls = []
         for _ in range(reps):
+            spark.catalog.clearCache()
             t0 = time.time()
             n = fn()
             walls.append(round(time.time() - t0, 3))

@@ -159,10 +159,11 @@ def test_caches_released(spark):
         _tset(docs), id_col="doc_id", group_col="source", caches=caches
     )
     assert out.count() == 1
-    assert len(caches) == 1 and caches[0].is_cached
+    # base projection + prefix index (both multi-consumer)
+    assert len(caches) == 2 and all(c.is_cached for c in caches)
     for c in caches:
         c.unpersist()
-    assert not caches[0].is_cached
+    assert not any(c.is_cached for c in caches)
 
 
 def test_plan_has_no_quadratic_join(spark):

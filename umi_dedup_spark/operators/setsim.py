@@ -159,6 +159,16 @@ def jaccard_similarity_join(
         .filter(F.col("_rn") <= plen)
         .select(*grp, "_id", "_sz", "_tok")
     )
+    if caches is not None:
+        # BOTH sides of the candidate self-join consume the prefix index;
+        # the alias projections differ below the exchange, so Catalyst
+        # cannot ReusedExchange them — without a persist the whole
+        # explode + frequency agg + per-doc window chain (3 exchanges)
+        # executes once per side. The index is narrow (prefix tokens
+        # only, ~(1-t)·|token occurrences| rows), far cheaper to cache
+        # than to recompute.
+        prefix = prefix.persist()
+        caches.append(prefix)
 
     # 3. candidate pairs: inverted-index self-join on (group, token),
     #    size filter, map-side-combined dedup
