@@ -75,6 +75,11 @@ def propagate_labels(
     :class:`CCNotConverged` if max_iters rounds were not enough
     (2^max_iters-hop reach — unreachable in practice).
     """
+    import os as _os
+    import time as _time
+
+    _trace = _os.environ.get("UMI_CC_TRACE") == "1"
+    _t0 = _time.time()
     labels = nodes.select(
         F.col("fam"),
         _pack(F.col("fam_count"), F.col("fam_tb"), F.col("fam")).alias("lbl"),
@@ -82,17 +87,36 @@ def propagate_labels(
     if num_partitions is not None:
         labels = labels.repartition(num_partitions, "fam")
     labels = labels.localCheckpoint(eager=True)
+    if _trace:
+        print(f"[cc] init checkpoint {_time.time() - _t0:.2f}s", flush=True)
 
     # the hop side is invariant across rounds: partition + sort it by src
-    # ONCE and cache — InMemoryTableScan preserves partitioning/ordering,
-    # so every round's hop join shuffles and sorts only the (small) label
-    # delta side, never the edge table again.
+    # ONCE and snapshot it as a LEAF (localCheckpoint -> LogicalRDD, which
+    # preserves outputPartitioning/outputOrdering), so every round's hop
+    # join shuffles and sorts only the (small) label delta side, never the
+    # edge table again. A persist() would give the same *execution* (the
+    # cache is substituted at planning time) but NOT the same *planning*:
+    # each round's localCheckpoint eagerly plans its tree (toRdd), and
+    # with a persisted-but-not-truncated edge table that tree still
+    # contains the pipeline's entire upstream lineage — measured 2-3s of
+    # driver-side Catalyst analysis PER ROUND at 20k docs (the dominant
+    # labels-stage cost), growing with pipeline depth at scale. The leaf
+    # cuts round planning to milliseconds. Blocks are freed by the
+    # ContextCleaner when the loop's DataFrames are collected — there is
+    # no unpersist() for checkpoint blocks, and the table is one narrow
+    # (src, dst) pair per edge, the smallest table in the stage.
     edges_by_src = (
-        edges.repartition(num_partitions, "src")
-        if num_partitions is not None
-        else edges.repartition("src")
-    ).sortWithinPartitions("src").persist()
+        (
+            edges.repartition(num_partitions, "src")
+            if num_partitions is not None
+            else edges.repartition("src")
+        )
+        .sortWithinPartitions("src")
+        .localCheckpoint(eager=False)
+    )
 
+    if _trace:
+        print(f"[cc] edges_by_src built {_time.time() - _t0:.2f}s (cumulative)", flush=True)
     iters = 0
     converged = False
     try:
@@ -126,6 +150,8 @@ def propagate_labels(
                 # (Skipping map-side partial agg is free here: this branch
                 # only fires when the working set is small.)
                 upd = upd.repartition(num_partitions, "fam")
+            if _trace:
+                print(f"[cc] r{it} plan-a {_time.time() - _t0:.2f}s", flush=True)
             best = upd.groupBy("fam").agg(F.min("lbl").alias("new_lbl"))
             new_labels = (
                 labels.join(best, "fam", "left")
@@ -140,13 +166,18 @@ def propagate_labels(
                 )
                 .localCheckpoint(eager=False)
             )
+            if _trace:
+                print(f"[cc] r{it} plan-b {_time.time() - _t0:.2f}s", flush=True)
+            _t0 = _time.time()
             changed = new_labels.agg(F.max("chg")).collect()[0][0]
+            if _trace:
+                print(f"[cc] round {it} {_time.time() - _t0:.2f}s chg={changed}", flush=True)
             labels = new_labels.select("fam", "lbl")
             if not changed:
                 converged = True
                 break
     finally:
-        edges_by_src.unpersist()
+        pass  # checkpoint blocks are reclaimed by the ContextCleaner
 
     if not converged:
         raise CCNotConverged(

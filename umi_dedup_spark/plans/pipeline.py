@@ -79,6 +79,7 @@ class DedupPipeline:
         self.cfg = cfg or DedupConfig()
         self.checkpoint_dir = checkpoint_dir
         self.lineage: list[DataFrame] = []
+        self.stage_rows: dict[str, int] = {}
         # always defined, even on fully-resumed runs (overflow is persisted
         # as its own checkpoint stage, so resume restores it)
         self.metrics_overflow: DataFrame | None = None
@@ -112,9 +113,12 @@ class DedupPipeline:
             # cache — measured ~5x faster to build than localCheckpoint's
             # row-oriented block storage; the CC loop still
             # localCheckpoints its (small) label table to cut the
-            # iterative lineage.
+            # iterative lineage. The materialization count is recorded so
+            # later consumers (the fixpoint width sizing) read a number
+            # instead of re-issuing count() — which would re-run Catalyst
+            # analysis over the stage's full logical lineage.
             df = df.persist()
-            df.count()
+            self.stage_rows[stage] = df.count()
         self.lineage.append(partition_lineage(df, stage))
         return df
 
@@ -224,12 +228,18 @@ class DedupPipeline:
             nodes = fams.select(
                 F.col("norm_hash").alias("fam"), "fam_count", "fam_tb"
             ).join(touched, "fam", "left_semi")
-            # size the fixpoint's partition width from the edge count —
-            # edges is persisted+counted by its own stage, so this count
-            # reads the cache. Small working sets collapse to a few
-            # partitions (per-task overhead dominated every round at
-            # session width); web-scale edge sets keep the full width.
-            n_edges = edges.count()
+            # size the fixpoint's partition width from the edge count,
+            # recorded when the edges stage materialized (a fresh
+            # edges.count() would re-run Catalyst analysis over the whole
+            # upstream lineage just to read a cached number; a resumed-
+            # from-checkpoint edges stage has no recorded count, so fall
+            # back to counting the — then parquet-backed, shallow — table).
+            # Small working sets collapse to a few partitions (per-task
+            # overhead dominated every round at session width); web-scale
+            # edge sets keep the full width.
+            n_edges = self.stage_rows.get("edges")
+            if n_edges is None:
+                n_edges = edges.count()
             fixpoint_p = max(
                 1,
                 min(
