@@ -64,6 +64,14 @@ def run_bench(sf_dir: str, cpus: str, synth_docs: int = 50_000, only: str | None
         walls = []
         for _ in range(reps):
             spark.catalog.clearCache()
+            # clearCache only drops the SQL cache; localCheckpoint blocks
+            # (e.g. the CC fixpoint's final label table, kept alive by the
+            # previous rep's result lineage) sit in getPersistentRDDs and
+            # would accumulate across reps — reps are independent, drop
+            # everything.
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for rid in list(jmap.keySet().toArray()):
+                jmap.get(rid).unpersist(False)
             t0 = time.time()
             n = fn()
             walls.append(round(time.time() - t0, 3))

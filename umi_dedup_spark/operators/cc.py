@@ -80,6 +80,17 @@ def propagate_labels(
 
     _trace = _os.environ.get("UMI_CC_TRACE") == "1"
     _t0 = _time.time()
+    # localCheckpoint blocks have NO public release API (DataFrame
+    # .unpersist only touches the SQL cache), and the ContextCleaner only
+    # reclaims them after a JVM GC notices the RDD is unreachable — in a
+    # long-lived session each pipeline run would strand its loop-internal
+    # checkpoints (init labels, edge snapshot, every non-final round)
+    # in executor storage. Record the persistent-RDD ids created by this
+    # loop and free all but the final label table's before returning.
+    # Caveat: assumes no concurrent persist() on this SparkContext during
+    # the loop (the pipeline is single-threaded per run).
+    _jsc = nodes.sparkSession.sparkContext._jsc
+    _rdds_before = {int(i) for i in _jsc.getPersistentRDDs().keySet().toArray()}
     labels = nodes.select(
         F.col("fam"),
         _pack(F.col("fam_count"), F.col("fam_tb"), F.col("fam")).alias("lbl"),
@@ -177,7 +188,18 @@ def propagate_labels(
                 converged = True
                 break
     finally:
-        pass  # checkpoint blocks are reclaimed by the ContextCleaner
+        # free every checkpoint this loop created except the newest
+        # (= the final label table — RDD ids are monotonic, so the last
+        # persisted id among the loop's creations is the returned one);
+        # on an exception nothing survives, free them all.
+        _jmap = _jsc.getPersistentRDDs()
+        _created = sorted(
+            int(i) for i in _jmap.keySet().toArray() if int(i) not in _rdds_before
+        )
+        _keep = _created[-1] if (_created and converged) else None
+        for _i in _created:
+            if _i != _keep:
+                _jmap.get(_i).unpersist(False)
 
     if not converged:
         raise CCNotConverged(

@@ -102,7 +102,12 @@ class DedupPipeline:
         path = self._ckpt_path(stage)
         if path and resume and dio.stage_complete(path, self.cfg):
             return dio.read_table(self.spark, path)
+        _trace = os.environ.get("UMI_STAGE_TRACE") == "1"
+        _t0 = time.time()
         df = df_fn()
+        if _trace:
+            print(f"[stage {stage}] construct {time.time() - _t0:.2f}s", flush=True)
+            _t0 = time.time()
         if path:
             dio.write_table(df, path, stage=stage, config=self.cfg)
             df = dio.read_table(self.spark, path)
@@ -119,6 +124,8 @@ class DedupPipeline:
             # analysis over the stage's full logical lineage.
             df = df.persist()
             self.stage_rows[stage] = df.count()
+        if _trace:
+            print(f"[stage {stage}] materialize {time.time() - _t0:.2f}s", flush=True)
         self.lineage.append(partition_lineage(df, stage))
         return df
 
