@@ -1052,6 +1052,98 @@ def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontaminate.py): training
+    docs = doc_id % 5 != 0, benchmark = the mod-5 slice; a training doc
+    is contaminated when it shares any 8-token gram with the benchmark.
+    Oracle = q_decontaminate_ngram."""
+    from pyspark.sql import functions as F
+
+    from umi_dedup_spark.operators.decontaminate import ngram_contamination
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return ngram_contamination(corpus, bench, k=8)
+
+
+def q_decontaminate_ngram(d: str) -> str:
+    """DuckDB mirror of ngram_contamination: distinct 8-token-gram md5
+    hashes per doc, semi-join vs the benchmark slice's gram set, left
+    join back so clean docs report 0."""
+    if d != "d":
+        raise ValueError("duck dialect only — Spark side is the operator")
+    return r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         ('0x'||substr(md5(array_to_string(tk[i:i+7], ' ')),1,15))::BIGINT AS gh
+  FROM toks, unnest(generate_series(1, greatest(len(tk) - 7, 1))) AS t(i)
+),
+bench AS (SELECT DISTINCT gh FROM grams WHERE doc_id % 5 = 0),
+hits AS (
+  SELECT g.doc_id, count(*) AS n FROM grams g JOIN bench USING (gh)
+  WHERE g.doc_id % 5 != 0 GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(h.n, 0)::BIGINT AS n_shared_grams,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 5 != 0"""
+
+
+def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding dedup (operators/similarity.semdedup_mark)
+    with explicit deterministic centroids (the 8 lowest vec_ids) so the
+    DuckDB oracle can mirror the cell assignment; oracle =
+    q_semdedup_mark."""
+    from umi_dedup_spark.operators.similarity import semdedup_mark
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semdedup_mark(
+        emb, n_cells=8, threshold=0.35, centroid_ids=list(range(8))
+    )
+
+
+def q_semdedup_mark(d: str) -> str:
+    """DuckDB mirror of semdedup_mark: nearest-centroid assignment with
+    the cell UDF's exact tie rule (round(sim,9) DESC, cid ASC), then the
+    max round-6 cosine to any lower-id cellmate vs threshold 0.35."""
+    if d != "d":
+        raise ValueError("duck dialect only — Spark side is the operator")
+    return """
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 8
+),
+ranked AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 9) DESC,
+                                     c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (SELECT vec_id, cid::INTEGER AS cell FROM ranked WHERE rn = 1),
+best AS (
+  SELECT b.vec_id,
+         max(round(list_dot_product(eb.embedding::DOUBLE[], ea.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))), 6)
+         ) AS best_lower_sim
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  GROUP BY 1
+)
+SELECT s.vec_id, s.cell, b.best_lower_sim,
+       coalesce(b.best_lower_sim >= 0.35, false) AS is_semantic_dup
+FROM assigned s LEFT JOIN best b USING (vec_id)"""
+
+
 # Spark side = real operator, oracle = hand-matched DuckDB SQL
 OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": _ann_topk,
@@ -1060,6 +1152,8 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "paired_umi_counts": _paired_umi_counts,
     "flagship_dedup_pipeline": _flagship,
     "simhash_fingerprints": _simhash_fingerprints,
+    "decontaminate_ngram": _decontaminate,
+    "semdedup_mark": _semdedup,
 }
 OPERATOR_ORACLES: dict[str, Callable[[str], str]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1068,6 +1162,8 @@ OPERATOR_ORACLES: dict[str, Callable[[str], str]] = {
     "paired_umi_counts": q_paired_umi_counts,
     "flagship_dedup_pipeline": q_flagship_pipeline,
     "simhash_fingerprints": q_simhash_fingerprints,
+    "decontaminate_ngram": q_decontaminate_ngram,
+    "semdedup_mark": q_semdedup_mark,
 }
 
 

@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from umi_dedup_spark.operators.similarity import (
+    semdedup_mark,
     brute_force_topk,
     ivf_topk,
     lsh_bucketed_topk,
@@ -123,3 +124,76 @@ def test_lsh_recall_at_10k_vectors(spark):
     hits = sum(1 for qid, n in truth.items() if got.get(qid) == n)
     recall = hits / n_q
     assert recall >= 0.9, f"LSH recall@1 at 10k vectors: {recall}"
+
+
+# ------------------------------------------------------------------ semdedup
+def _vecs_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_semdedup_marks_near_duplicate_not_seed(spark):
+    # two orthogonal centroids; 10/11 nearly identical near centroid 0,
+    # 20 alone near centroid 1
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (10, [0.9, 0.4, 0.0]),
+        (11, [0.9, 0.4, 0.001]),
+        (20, [0.4, 0.9, 0.0]),
+    ]
+    out = semdedup_mark(
+        _vecs_df(spark, rows), n_cells=2, threshold=0.95, centroid_ids=[0, 1]
+    )
+    got = {r["vec_id"]: r.asDict() for r in out.collect()}
+    assert set(got) == {0, 1, 10, 11, 20}
+    # 11 has lower-id near-twin 10 in its cell -> dup; 10's best lower
+    # mate is the centroid-0 vector itself (cos = 0.9/sqrt(0.97) ~ 0.914
+    # < 0.95) -> kept; same margin for 20 against centroid 1
+    assert got[11]["is_semantic_dup"] is True
+    assert got[10]["is_semantic_dup"] is False
+    assert got[20]["is_semantic_dup"] is False
+    # lowest id of each cell has no lower mate -> NULL best
+    assert got[0]["best_lower_sim"] is None
+    assert got[1]["best_lower_sim"] is None
+
+
+def test_semdedup_matches_numpy_oracle(spark):
+    rng = np.random.RandomState(7)
+    n, d, k, t = 120, 16, 4, 0.5
+    x = rng.randn(n, d)
+    # plant 10 near-dup pairs
+    for j in range(10):
+        x[n - 1 - j] = x[j] + rng.randn(d) * 0.01
+    rows = [(i, x[i].tolist()) for i in range(n)]
+    out = semdedup_mark(
+        _vecs_df(spark, rows), n_cells=k, threshold=t, centroid_ids=list(range(k))
+    )
+    got = {r["vec_id"]: (r["cell"], r["is_semantic_dup"]) for r in out.collect()}
+
+    xf = np.stack([np.asarray(v, dtype=np.float64) for _, v in rows])
+    xn = xf / np.linalg.norm(xf, axis=1, keepdims=True)
+    cn = xn[:k]
+    sims = np.round(xn @ cn.T, 9)
+    # argmax with lowest-cid tie-break == argsort stable descending
+    cells = np.argsort(-sims, axis=1, kind="stable")[:, 0]
+    cos = np.round(xn @ xn.T, 6)
+    for i in range(n):
+        assert got[i][0] == cells[i], i
+        lower = [j for j in range(i) if cells[j] == cells[i]]
+        expect = bool(lower and max(cos[i][j] for j in lower) >= t)
+        assert got[i][1] == expect, i
+    # the planted twins actually exercised the dup path
+    assert sum(d for _, d in got.values()) >= 10
+
+
+def test_semdedup_auto_centroids_deterministic(spark):
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.randn(8).tolist()) for i in range(40)]
+    df = _vecs_df(spark, rows)
+    a = {r["vec_id"]: r.asDict() for r in semdedup_mark(df, n_cells=4, threshold=0.3).collect()}
+    b = {r["vec_id"]: r.asDict() for r in semdedup_mark(df, n_cells=4, threshold=0.3).collect()}
+    assert a == b
+    assert len(a) == 40

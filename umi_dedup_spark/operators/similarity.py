@@ -216,3 +216,84 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def semdedup_mark(
+    vectors: DataFrame,
+    n_cells: int = 8,
+    threshold: float = 0.35,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_ids: list[int] | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup over an embedding column
+    (Abbas et al. 2023, arXiv:2303.09540): partition the corpus into
+    ``n_cells`` centroid cells, then inside each cell mark a vector a
+    *semantic duplicate* when some LOWER-id cellmate has cosine
+    similarity >= threshold (keep-lowest-id = the deterministic stand-in
+    for SemDeDup's keep-one-per-group rule; the reference analog is the
+    directional "count-ordered seed keeps, rest marked" pass,
+    ``lib/markdup_sam.py:134-146``).
+
+    Returns one row per vector: ``(id_col, cell, best_lower_sim,
+    is_semantic_dup)``; ``best_lower_sim`` is NULL for the lowest id in
+    its cell. Similarities are rounded to 6dp BEFORE the max/threshold,
+    so the boundary decision is identical across engines.
+
+    Scale shape: this IS the published algorithm's cost model — k-means
+    with n_cells ∝ n bounds cell size, the within-cell pairwise pass is
+    quadratic in the (bounded) cell, and the cell id is an equi-join
+    key, so the shuffle is one exchange on cell. Centroids are a
+    broadcast constant (deterministic id sample here — explicit
+    ``centroid_ids`` makes the assignment SQL-mirrorable; a real run
+    would pass k-means centroids in the same shape). AQE skew-split
+    handles an over-dense cell's join skew.
+    """
+    if centroid_ids is not None:
+        cent_rows = (
+            vectors.select(F.col(id_col), F.col(vec_col))
+            .filter(F.col(id_col).isin(list(centroid_ids)))
+            .orderBy(id_col)
+            .collect()
+        )
+    else:
+        cent_rows = (
+            vectors.select(F.col(id_col), F.col(vec_col))
+            .withColumn("_h", F.xxhash64(F.col(id_col), F.lit(seed)))
+            .orderBy("_h")
+            .limit(n_cells)
+            .collect()
+        )
+    centroids = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in cent_rows])
+
+    assign1 = make_cell_udf(centroids, 1)
+    assigned = vectors.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
+    )
+    lo = assigned.select(
+        F.col(id_col).alias("_lo_id"), F.col("v").alias("lv"), "cell"
+    )
+    hi = assigned.select(
+        F.col(id_col).alias("_hi_id"), F.col("v").alias("hv"), "cell"
+    )
+    best = (
+        hi.join(lo, "cell")
+        .filter(F.col("_lo_id") < F.col("_hi_id"))
+        .groupBy("_hi_id")
+        .agg(F.max(F.round(cosine(F.col("hv"), F.col("lv")), 6)).alias("best_lower_sim"))
+    )
+    return (
+        assigned.select(id_col, "cell")
+        .join(best, F.col(id_col) == F.col("_hi_id"), "left")
+        .select(
+            F.col(id_col),
+            "cell",
+            "best_lower_sim",
+            F.coalesce(
+                F.col("best_lower_sim") >= F.lit(threshold), F.lit(False)
+            ).alias("is_semantic_dup"),
+        )
+    )
