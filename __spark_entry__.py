@@ -879,6 +879,48 @@ SELECT cast(regexp_extract(source, '([0-9]+)$', 1) AS bigint) AS src_num,
 FROM documents GROUP BY 1"""
 
 
+def q_doc_repetition_scores(d: str) -> str:
+    """Intra-document repetition quality signal (Gopher-style repeated
+    n-gram filter): per doc, total vs distinct 3-token grams and the
+    duplicated-gram ratio — the per-doc 'how boilerplate-y is this text'
+    score a filtering pipeline thresholds on."""
+    toks = _toks(d, _norm(d, "text"))
+    n = _len(d, "tk")
+    starts = _seq(d, "1", f"greatest({n} - 2, 1)")
+    sj = _slice_join(d, "tk", "i", 3)
+    grams = _transform(d, starts, f"i -> {sj}")
+    ng = _len(d, "grams")
+    nd = _len(d, _distinct(d, "grams"))
+    return f"""
+SELECT doc_id, {ng} AS n_grams, {nd} AS n_distinct_grams,
+       round(1.0 - cast({nd} AS double) / {ng}, 6) AS dup_gram_ratio
+FROM (SELECT doc_id, {grams} AS grams FROM (
+  SELECT doc_id, {toks} AS tk FROM documents) a) b"""
+
+
+def q_hot_ngram_boilerplate(d: str) -> str:
+    """Corpus-wide boilerplate detection: 3-token grams occurring in >= 5
+    distinct documents (per-doc grams deduped before the count, so n_docs
+    is a document frequency). The explode is the one dialect split:
+    LATERAL VIEW vs unnest."""
+    toks = _toks(d, _norm(d, "text"))
+    n = _len(d, "tk")
+    starts = _seq(d, "1", f"greatest({n} - 2, 1)")
+    sj = _slice_join(d, "tk", "i", 3)
+    grams = _distinct(d, _transform(d, starts, f"i -> {sj}"))
+    inner = (
+        f"SELECT doc_id, {grams} AS grams FROM ("
+        f"SELECT doc_id, {toks} AS tk FROM documents) a"
+    )
+    if d == "s":
+        ex = f"SELECT gram FROM ({inner}) b LATERAL VIEW explode(grams) t AS gram"
+    else:
+        ex = f"SELECT unnest(grams) AS gram FROM ({inner}) b"
+    return f"""
+SELECT gram, count(*) AS n_docs FROM ({ex}) g
+GROUP BY gram HAVING count(*) >= 5"""
+
+
 SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "exact_dedup_families": q_exact_dedup_families,
     "exact_dedup_mark": q_exact_dedup_mark,
@@ -901,6 +943,8 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "simhash64": q_simhash64,
     "substring_overlap_pairs": q_substring_overlap_pairs,
     "cosine_topk": q_cosine_topk,
+    "doc_repetition_scores": q_doc_repetition_scores,
+    "hot_ngram_boilerplate": q_hot_ngram_boilerplate,
 }
 
 

@@ -9,6 +9,8 @@ local[$SPARK_GRAFT_CPUS]:
   * minhash_sketch  — relational MinHash kernel (SQL)
   * ngram_jaccard   — bucketed token-set-similarity self-join (SQL)
   * ann_topk        — brute-force cosine top-k over `embeddings`
+  * decontaminate   — 8-gram benchmark-overlap decontamination
+  * semdedup        — SemDeDup-style within-cell embedding dedup
   * synth_dedup_50k — pipeline over a 50k-doc JVM-synthesized corpus
                       (the throughput number quoted as docs/sec)
 
@@ -88,6 +90,9 @@ def run_bench(sf_dir: str, cpus: str, synth_docs: int = 50_000, only: str | None
     timed("minhash_sketch", lambda: q["minhash_sketch"](spark, sf_dir).count())
     timed("ngram_jaccard", lambda: q["ngram_jaccard_pairs"](spark, sf_dir).count())
     timed("ann_topk", lambda: q["ann_cosine_topk"](spark, sf_dir).count())
+    # round-4 additions (totals before r4 exclude these two keys)
+    timed("decontaminate", lambda: q["decontaminate_ngram"](spark, sf_dir).count())
+    timed("semdedup", lambda: q["semdedup_mark"](spark, sf_dir).count())
 
     synth_key = f"synth_dedup_{synth_docs // 1000}k"
     # the synth corpus is materialized to parquet ONCE (untimed setup,
