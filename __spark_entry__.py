@@ -346,11 +346,10 @@ def _shingled_docs(d: str) -> str:
   FROM (SELECT doc_id, {toks} AS tk FROM documents) tq)"""
 
 
-def q_minhash_lsh_pairs(d: str) -> str:
-    """The MinHash+LSH dedup path expressed relationally: 8 permutations,
-    4 bands x 2 rows; docs sharing any band bucket become candidates;
-    candidates verified by true shingle-set Jaccard >= 0.4. The SQL mirror
-    of operators/lsh.py + the Jaccard verification of directional.py."""
+def _lsh_band_fragments(d: str) -> tuple[str, str, str]:
+    """Shared LSH text: (mins, bands, band_joins) SQL fragments — 8 fixed
+    permutations, 4 bands x 2 rows. Used verbatim by q_minhash_lsh_pairs
+    and q_lsh_recall_report so the two queries cannot drift."""
     amin = "array_min" if d == "s" else "list_min"
     A = (1103515245, 1566083941, 747796405, 22695477, 69069, 1103515245 + 2, 48271, 16807)
     B = (12345, 654321, 2891336453, 1, 362437, 54321, 7, 11)
@@ -371,6 +370,15 @@ def q_minhash_lsh_pairs(d: str) -> str:
     FROM sigs a JOIN sigs b ON a.band{t} = b.band{t} AND a.doc_id < b.doc_id"""
         for t in range(4)
     )
+    return mins, bands, band_joins
+
+
+def q_minhash_lsh_pairs(d: str) -> str:
+    """The MinHash+LSH dedup path expressed relationally: 8 permutations,
+    4 bands x 2 rows; docs sharing any band bucket become candidates;
+    candidates verified by true shingle-set Jaccard >= 0.4. The SQL mirror
+    of operators/lsh.py + the Jaccard verification of directional.py."""
+    mins, bands, band_joins = _lsh_band_fragments(d)
     inter = _len(d, _intersect(d, "sa.sh", "sb.sh"))
     na, nb = _len(d, "sa.sh"), _len(d, "sb.sh")
     return f"""
@@ -921,6 +929,94 @@ SELECT gram, count(*) AS n_docs FROM ({ex}) g
 GROUP BY gram HAVING count(*) >= 5"""
 
 
+def q_boilerplate_density(d: str) -> str:
+    """Per-document boilerplate density (RefinedWeb/C4-style line-dedup
+    graft, gram-level because the synthetic corpus has no newlines): the
+    fraction of a doc's distinct 3-grams whose corpus document-frequency
+    is >= 5. Composes hot_ngram_boilerplate with a join-back so each doc
+    reports (n_grams, n_hot, density)."""
+    toks = _toks(d, _norm(d, "text"))
+    n = _len(d, "tk")
+    starts = _seq(d, "1", f"greatest({n} - 2, 1)")
+    sj = _slice_join(d, "tk", "i", 3)
+    grams = _distinct(d, _transform(d, starts, f"i -> {sj}"))
+    inner = (
+        f"SELECT doc_id, {grams} AS grams FROM ("
+        f"SELECT doc_id, {toks} AS tk FROM documents) a"
+    )
+    if d == "s":
+        ex = f"SELECT doc_id, gram FROM ({inner}) b LATERAL VIEW explode(grams) t AS gram"
+    else:
+        ex = f"SELECT doc_id, unnest(grams) AS gram FROM ({inner}) b"
+    return f"""
+WITH dg AS ({ex}),
+hot AS (SELECT gram FROM dg GROUP BY gram HAVING count(*) >= 5),
+per_doc AS (SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY doc_id),
+hits AS (
+  SELECT dg.doc_id, count(*) AS n_hot
+  FROM dg JOIN hot ON dg.gram = hot.gram GROUP BY dg.doc_id)
+SELECT p.doc_id, p.n_grams,
+       cast(coalesce(h.n_hot, 0) AS bigint) AS n_hot,
+       round(cast(coalesce(h.n_hot, 0) AS double) / p.n_grams, 6) AS density
+FROM per_doc p LEFT JOIN hits h ON p.doc_id = h.doc_id"""
+
+
+def q_token_count_quantiles(d: str) -> str:
+    """Corpus token-count distribution: exact linear-interpolation
+    quantiles of per-doc token counts (the sizing stat a training-data
+    pipeline reads before choosing shard/window limits). Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the interpolation
+    rule; both sides round to 6."""
+    toks = _toks(d, "text")
+    n = _len(d, toks)
+    if d == "s":
+        qs = "percentile(n_tokens, array(0.5, 0.9, 0.99)) AS q"
+        q50, q90, q99 = "q[0]", "q[1]", "q[2]"
+    else:
+        qs = "[quantile_cont(n_tokens, 0.5), quantile_cont(n_tokens, 0.9), quantile_cont(n_tokens, 0.99)] AS q"
+        q50, q90, q99 = "q[1]", "q[2]", "q[3]"
+    return f"""
+SELECT count(*) AS n_docs,
+       cast(min(n_tokens) AS bigint) AS min_tokens,
+       cast(max(n_tokens) AS bigint) AS max_tokens,
+       round(avg(n_tokens), 6) AS mean_tokens, p.p50, p.p90, p.p99
+FROM (SELECT {n} AS n_tokens FROM documents) t,
+     (SELECT round({q50}, 6) AS p50, round({q90}, 6) AS p90, round({q99}, 6) AS p99
+      FROM (SELECT {qs} FROM (SELECT {n} AS n_tokens FROM documents) i) q) p
+GROUP BY p.p50, p.p90, p.p99"""
+
+
+def q_lsh_recall_report(d: str) -> str:
+    """The north-rule metric ON the board: dup-pair recall of the LSH
+    candidate-generation stage against blocked ground truth. Truth =
+    same-source pairs with shingle-set Jaccard >= 0.4 (exact, the
+    verification predicate); candidates = the 4x2 MinHash band buckets
+    of q_minhash_lsh_pairs (shared fragment text). One report row:
+    n_true, n_candidates, n_hit, recall."""
+    mins, bands, band_joins = _lsh_band_fragments(d)
+    inter = _len(d, _intersect(d, "sa.sh", "sb.sh"))
+    na, nb = _len(d, "sa.sh"), _len(d, "sb.sh")
+    return f"""
+WITH shingled AS (SELECT doc_id, sh FROM {_shingled_docs(d)} s0),
+sigs AS (SELECT doc_id, {bands} FROM (SELECT doc_id, {mins} FROM shingled) s1),
+cand AS (SELECT DISTINCT a_id, b_id FROM ({band_joins}) u),
+blocked AS (
+  SELECT s.doc_id, dd.source, s.sh
+  FROM shingled s JOIN documents dd ON dd.doc_id = s.doc_id),
+truth AS (
+  SELECT sa.doc_id AS a_id, sb.doc_id AS b_id
+  FROM blocked sa JOIN blocked sb
+    ON sa.source = sb.source AND sa.doc_id < sb.doc_id
+  WHERE cast({inter} AS double) / ({na} + {nb} - {inter}) >= cast(0.4 AS double)),
+hit AS (SELECT t.a_id, t.b_id FROM truth t JOIN cand c
+        ON t.a_id = c.a_id AND t.b_id = c.b_id)
+SELECT (SELECT count(*) FROM truth) AS n_true,
+       (SELECT count(*) FROM cand) AS n_candidates,
+       (SELECT count(*) FROM hit) AS n_hit,
+       round(cast((SELECT count(*) FROM hit) AS double) /
+             greatest((SELECT count(*) FROM truth), 1), 6) AS recall"""
+
+
 SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "exact_dedup_families": q_exact_dedup_families,
     "exact_dedup_mark": q_exact_dedup_mark,
@@ -945,6 +1041,9 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "cosine_topk": q_cosine_topk,
     "doc_repetition_scores": q_doc_repetition_scores,
     "hot_ngram_boilerplate": q_hot_ngram_boilerplate,
+    "boilerplate_density": q_boilerplate_density,
+    "token_count_quantiles": q_token_count_quantiles,
+    "lsh_recall_report": q_lsh_recall_report,
 }
 
 
@@ -1188,6 +1287,44 @@ SELECT s.vec_id, s.cell, b.best_lower_sim,
 FROM assigned s LEFT JOIN best b USING (vec_id)"""
 
 
+def _latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-snapshot compaction (operators/snapshot.py): one row per
+    (user_id, event_type) — the greatest (ts, event_id) — via a single
+    max-struct hash aggregation (map-side combine, no window sort).
+    The web graft of keep-latest-warc_ts-per-url. Oracle =
+    q_latest_snapshot."""
+    from pyspark.sql import functions as F
+
+    from umi_dedup_spark.operators.snapshot import latest_snapshot
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = latest_snapshot(
+        ev, keys=["user_id", "event_type"], ts_col="ts", tiebreak="event_id"
+    )
+    return out.select(
+        "user_id", "event_type", "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        F.round("value", 6).alias("value_r"), "props",
+    )
+
+
+def q_latest_snapshot(d: str) -> str:
+    """DuckDB mirror of latest_snapshot: row_number over (ts DESC,
+    event_id DESC) per key — the declarative spec the max-struct
+    aggregation implements without a per-group sort."""
+    if d != "d":
+        raise ValueError("duck dialect only — Spark side is the operator")
+    return """
+SELECT user_id, event_type, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+       round(value, 6) AS value_r, props
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) t
+WHERE rn = 1"""
+
+
 # Spark side = real operator, oracle = hand-matched DuckDB SQL
 OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": _ann_topk,
@@ -1198,6 +1335,7 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_fingerprints": _simhash_fingerprints,
     "decontaminate_ngram": _decontaminate,
     "semdedup_mark": _semdedup,
+    "latest_snapshot": _latest_snapshot,
 }
 OPERATOR_ORACLES: dict[str, Callable[[str], str]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1208,6 +1346,7 @@ OPERATOR_ORACLES: dict[str, Callable[[str], str]] = {
     "simhash_fingerprints": q_simhash_fingerprints,
     "decontaminate_ngram": q_decontaminate_ngram,
     "semdedup_mark": q_semdedup_mark,
+    "latest_snapshot": q_latest_snapshot,
 }
 
 

@@ -51,6 +51,14 @@ def parse_args(argv):
     p.add_argument("--lsh-rows", type=int, default=4)
     p.add_argument("--kmax", type=int, default=10)
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument(
+        "--compact-snapshots",
+        action="store_true",
+        help="pre-pass: keep only the newest warc_ts fetch per url "
+        "(operators/snapshot.py) instead of letting the exact pass mark "
+        "older fetches as duplicates — cheaper when re-crawl depth is "
+        "high (one max-struct agg removes them before fingerprinting)",
+    )
     return p.parse_args(argv)
 
 
@@ -84,6 +92,10 @@ def main(argv=None):
     pages = spark.read.parquet(args.input)
     if args.adapter == "documents":
         pages = documents_to_pages(pages)
+    if args.compact_snapshots and "warc_ts" in pages.columns:
+        from umi_dedup_spark.operators.snapshot import latest_snapshot
+
+        pages = latest_snapshot(pages, ["url"], "warc_ts")
 
     pipe = DedupPipeline(spark, cfg, checkpoint_dir=args.checkpoint_dir)
     res = pipe.run(pages, resume=args.resume)
