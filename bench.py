@@ -154,5 +154,13 @@ if __name__ == "__main__":
     # memory throughput is in a degraded window (see BENCH/BASELINE.md
     # caveats); raise via env for scaling runs
     synth_docs = int(os.environ.get("BENCH_SYNTH_DOCS", "20000"))
+    # size the pre-touched heap to the input, like executor memory on a
+    # real cluster: at >= 500k synth docs the pipeline's working set
+    # outgrows the default 8g Xms and every cold run re-pays this host's
+    # first-touch pathology MID-STAGE (measured at 1M@32: pairs stage
+    # 130s -> 22s, whole pipeline 270s -> 135s with Xms=24g). session.py
+    # still gates the pre-touch on actual available memory.
+    if "SPARK_DRIVER_XMS" not in os.environ and synth_docs >= 500_000:
+        os.environ["SPARK_DRIVER_XMS"] = "24g"
     only = sys.argv[1] if len(sys.argv) > 1 else None
     print(json.dumps(run_bench(sf_dir, cpus, synth_docs, only)))
