@@ -64,7 +64,22 @@ def run_leg(cwd: str, cpus: int) -> float:
     return parsed["queries"][KEY], parsed.get("synth_stage_times", {})
 
 
+R2_COMMIT = "17c9850"  # round-2 control binary (own-day efficiency 0.554)
+
+
+def ensure_r2_checkout() -> None:
+    """Recreate the control worktree if a cleanup removed it (gitignored,
+    so it vanishes between sessions)."""
+    if os.path.isdir(R2_DIR):
+        return
+    subprocess.run(
+        ["git", "worktree", "add", "--detach", R2_DIR, R2_COMMIT],
+        cwd=REPO, check=True, capture_output=True, text=True,
+    )
+
+
 def main() -> None:
+    ensure_r2_checkout()
     walls: dict[str, dict[int, list[float]]] = {
         b: {c: [] for c in LEGS} for b in BINARIES
     }
