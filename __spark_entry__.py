@@ -1325,6 +1325,144 @@ FROM (
 WHERE rn = 1"""
 
 
+WA_KEYSPACE = 2**20  # config.DedupConfig.keyspace_size — |alphabet|^L analog
+
+
+def _survivor_counts(algorithm: str, alias: str):
+    """E2/E3 on the board (reference CLI default is weighted_average2,
+    ``/root/reference/dedup.py:18``): run the REAL estimator path
+    (operators/estimators.cluster_survivor_counts — histogram
+    applyInPandas + apportion + rank join-back) per source-cluster over
+    the exact-family size histogram, then report the per-cluster survivor
+    total (= clamp(estimate, n_fams, total_docs) by count conservation,
+    reference ``lib/markdup_sam.py:159``)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from umi_dedup_spark.operators.estimators import cluster_survivor_counts
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        fams = (
+            docs.select(
+                F.expr(_h64("s", "source")).alias("cluster_id"),
+                F.expr(_h64("s", _norm("s", "text"))).alias("norm_hash"),
+                "doc_id",
+            )
+            .groupBy("cluster_id", "norm_hash")
+            .agg(
+                F.count(F.lit(1)).alias("fam_count"),
+                F.min("doc_id").alias("fam_tb"),
+            )
+        )
+        keep = cluster_survivor_counts(fams, algorithm, WA_KEYSPACE)
+        return keep.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("n_fams"),
+            F.sum("fam_count").alias("total_docs"),
+            F.sum("n_keep").alias(alias),
+        )
+
+    return run
+
+
+def _wa_hist_cte(d: str) -> str:
+    """Shared oracle CTE: per-source exact-family size histogram +
+    per-cluster totals. DuckDB dialect (Spark side is the operator)."""
+    fam = _h64(d, _norm(d, "text"))
+    src = _h64(d, "source")
+    return f"""
+WITH fams AS (
+  SELECT {src} AS cluster_id, {fam} AS fam, count(*) AS fam_count
+  FROM documents GROUP BY 1, 2
+),
+hist AS (
+  SELECT cluster_id, fam_count AS v, count(*)::BIGINT AS f
+  FROM fams GROUP BY 1, 2
+),
+stats AS (
+  SELECT cluster_id, sum(f)::BIGINT AS n_fams, sum(v * f)::BIGINT AS total_docs
+  FROM hist GROUP BY 1
+)"""
+
+
+def q_wa2_survivor_counts(d: str) -> str:
+    """DuckDB mirror of E3 weighted_average2 (reference
+    ``lib/weighted_average2.py:7-26``): every count value (including the
+    inferred zero class f0 = K - n_obs) votes for truncating all counts at
+    (itself + 1); estimate = banker's-round(weighted_sum / K), then the
+    [n_fams, total] conservation clamp. The cumulative inner loop is the
+    running-sum window; weighted_sum / K is EXACT integer arithmetic
+    (K = 2^20, so the engine's float division is exact too), and Python's
+    round-half-to-even is spelled out on the integer remainder."""
+    if d != "d":
+        raise ValueError("duck dialect only — Spark side is the operator")
+    k = WA_KEYSPACE
+    return (
+        _wa_hist_cte(d)
+        + f""",
+hist0 AS (
+  SELECT cluster_id, v, f FROM hist
+  UNION ALL
+  SELECT cluster_id, 0 AS v, ({k} - n_fams) AS f FROM stats
+),
+cum AS (
+  SELECT cluster_id, v, f,
+         sum(f) OVER (PARTITION BY cluster_id ORDER BY v) AS cf,
+         sum(v * f) OVER (PARTITION BY cluster_id ORDER BY v) AS cvf
+  FROM hist0
+),
+est AS (
+  SELECT cluster_id,
+         sum(f * (cvf + (v + 1) * ({k} - cf)))::BIGINT AS weighted
+  FROM cum GROUP BY 1
+)
+SELECT s.cluster_id, s.n_fams, s.total_docs,
+       least(greatest(
+         (weighted // {k}) + CASE WHEN 2 * (weighted % {k}) > {k} THEN 1
+                                  WHEN 2 * (weighted % {k}) < {k} THEN 0
+                                  ELSE (weighted // {k}) % 2 END,
+         s.n_fams), s.total_docs) AS wa2_survivors
+FROM est JOIN stats s USING (cluster_id)"""
+    )
+
+
+def q_wa_survivor_counts(d: str) -> str:
+    """DuckDB mirror of E2 weighted_average (reference
+    ``lib/weighted_average.py:6-15``): estimate = round((c0*n_obs +
+    c1*total) / (c0 + c1)) with c0 = unobserved keyspace, c1 = singleton
+    families — computed in DOUBLE exactly as the numpy kernel does, with
+    Python's round-half-to-even spelled out for the tie case — then the
+    conservation clamp."""
+    if d != "d":
+        raise ValueError("duck dialect only — Spark side is the operator")
+    k = WA_KEYSPACE
+    return (
+        _wa_hist_cte(d)
+        + f""",
+est AS (
+  SELECT s.cluster_id, s.n_fams, s.total_docs,
+         ({k} - s.n_fams)::BIGINT AS c0,
+         coalesce((SELECT f FROM hist h
+                   WHERE h.cluster_id = s.cluster_id AND h.v = 1), 0) AS c1
+  FROM stats s
+),
+x AS (
+  SELECT cluster_id, n_fams, total_docs,
+         CASE WHEN c0 + c1 = 0 THEN n_fams::DOUBLE
+              ELSE (c0 * n_fams + c1 * total_docs)::DOUBLE
+                   / (c0 + c1)::DOUBLE END AS xv
+  FROM est
+)
+SELECT cluster_id, n_fams, total_docs,
+       least(greatest(
+         (CASE WHEN xv - floor(xv) = 0.5
+               THEN floor(xv) + (floor(xv)::BIGINT % 2)
+               ELSE round(xv) END)::BIGINT,
+         n_fams), total_docs) AS wa_survivors
+FROM x"""
+    )
+
+
 # Spark side = real operator, oracle = hand-matched DuckDB SQL
 OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": _ann_topk,
@@ -1336,6 +1474,8 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_ngram": _decontaminate,
     "semdedup_mark": _semdedup,
     "latest_snapshot": _latest_snapshot,
+    "wa2_survivor_counts": _survivor_counts("weighted_average2", "wa2_survivors"),
+    "wa_survivor_counts": _survivor_counts("weighted_average", "wa_survivors"),
 }
 OPERATOR_ORACLES: dict[str, Callable[[str], str]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1347,6 +1487,8 @@ OPERATOR_ORACLES: dict[str, Callable[[str], str]] = {
     "decontaminate_ngram": q_decontaminate_ngram,
     "semdedup_mark": q_semdedup_mark,
     "latest_snapshot": q_latest_snapshot,
+    "wa2_survivor_counts": q_wa2_survivor_counts,
+    "wa_survivor_counts": q_wa_survivor_counts,
 }
 
 
