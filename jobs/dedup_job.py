@@ -92,10 +92,17 @@ def main(argv=None):
     pages = spark.read.parquet(args.input)
     if args.adapter == "documents":
         pages = documents_to_pages(pages)
-    if args.compact_snapshots and "warc_ts" in pages.columns:
-        from umi_dedup_spark.operators.snapshot import latest_snapshot
+    if args.compact_snapshots:
+        if "warc_ts" in pages.columns:
+            from umi_dedup_spark.operators.snapshot import latest_snapshot
 
-        pages = latest_snapshot(pages, ["url"], "warc_ts")
+            pages = latest_snapshot(pages, ["url"], "warc_ts")
+        else:
+            print(
+                "WARNING: --compact-snapshots ignored: input has no "
+                "'warc_ts' column (adapter dropped it?); running on all rows",
+                file=sys.stderr,
+            )
 
     pipe = DedupPipeline(spark, cfg, checkpoint_dir=args.checkpoint_dir)
     res = pipe.run(pages, resume=args.resume)

@@ -57,6 +57,7 @@ def ngram_contamination(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_threshold: int = 50_000_000,
+    bench_gram_estimate: int | None = None,
 ) -> DataFrame:
     """Per-document contamination report of ``docs`` against ``bench``.
 
@@ -64,11 +65,13 @@ def ngram_contamination(
     contaminated)`` where n_shared_grams counts DISTINCT grams of the
     document that occur anywhere in the benchmark set.
 
-    ``broadcast_threshold``: expected upper bound on distinct benchmark
-    grams under which the semi-join side is broadcast (50M 8-byte keys
-    ~ 400 MB exec-side hash set — fine on multi-GB executors; tune per
-    cluster). No count job is issued: the *caller's* knowledge of the
-    benchmark scale picks the strategy; ``auto`` would cost a scan.
+    Join strategy: the benchmark gram set is broadcast unless the
+    caller's ``bench_gram_estimate`` (expected distinct benchmark grams;
+    no count job is issued — ``auto`` would cost a scan) exceeds
+    ``broadcast_threshold`` (50M 8-byte keys ~ 400 MB exec-side hash
+    set — fine on multi-GB executors; tune per cluster). With no
+    estimate the default is broadcast — benchmarks are small by nature —
+    and ``broadcast_threshold <= 0`` forces the shuffle join outright.
     """
     d_grams = docs.select(
         F.col(id_col), F.explode(gram_hashes(F.col(text_col), k)).alias("gh")
@@ -77,7 +80,9 @@ def ngram_contamination(
         bench.select(F.explode(gram_hashes(F.col(text_col), k)).alias("gh"))
         .distinct()
     )
-    if broadcast_threshold > 0:
+    if broadcast_threshold > 0 and (
+        bench_gram_estimate is None or bench_gram_estimate <= broadcast_threshold
+    ):
         b_grams = F.broadcast(b_grams)
     hits = (
         d_grams.join(b_grams, "gh")

@@ -151,6 +151,12 @@ def ivf_topk(
             .orderBy(id_col)
             .collect()
         )
+        if len(cent_rows) != len(centroid_ids):
+            missing = sorted(set(centroid_ids) - {r[0] for r in cent_rows})
+            raise ValueError(
+                f"ivf_topk: centroid_ids not found in {id_col}: "
+                f"{missing} — cell indices would silently shift"
+            )
     else:
         cent_rows = (
             corpus.select(F.col(id_col), F.col(vec_col))
@@ -257,6 +263,12 @@ def semdedup_mark(
             .orderBy(id_col)
             .collect()
         )
+        if len(cent_rows) != len(centroid_ids):
+            missing = sorted(set(centroid_ids) - {r[0] for r in cent_rows})
+            raise ValueError(
+                f"semdedup_mark: centroid_ids not found in {id_col}: "
+                f"{missing} — cell indices would silently shift"
+            )
     else:
         cent_rows = (
             vectors.select(F.col(id_col), F.col(vec_col))

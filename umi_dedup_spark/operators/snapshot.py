@@ -53,10 +53,27 @@ def latest_snapshot(
     crawl pages identified only by (url, warc_ts)), ties on ts fall
     through to the payload fields' lexicographic order: still fully
     deterministic, just not caller-chosen.
+
+    Payload columns ride inside a ``max(struct(...))`` aggregate, so every
+    payload type must be ORDERABLE (struct comparison requirement; the ts
+    and tiebreak prefix decides in practice, but Spark rejects the
+    aggregate at analysis time otherwise). MapType is the one common
+    non-orderable type — detected here with a clear error naming the
+    column (wrap it with ``to_json`` or exclude it via ``payload``).
     """
     tb = [tiebreak] if tiebreak else []
     if payload is None:
         payload = [c for c in df.columns if c not in (*keys, ts_col, *tb)]
+    from pyspark.sql.types import MapType
+
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    bad = [c for c in payload if isinstance(fields.get(c), MapType)]
+    if bad:
+        raise TypeError(
+            f"latest_snapshot payload column(s) {bad} are MapType, which is "
+            "not orderable inside max(struct(...)); wrap with to_json() or "
+            "pass payload=[...] excluding them"
+        )
     packed = F.struct(
         F.col(ts_col).alias("_ts"),
         *[F.col(c).alias("_tb") for c in tb],
