@@ -1325,6 +1325,95 @@ FROM (
 WHERE rn = 1"""
 
 
+def _nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table relational surface (VERDICT r4 #6): Q5-shaped revenue
+    rollup — lineitem ⨝ orders ⨝ customer shuffle on their keys, nation
+    and region as explicit broadcast dims (the at-scale shape: facts
+    exchange once on join keys, dims ride the broadcast). Revenue terms
+    are rounded per-row in DOUBLE (identical IEEE ops in both engines)
+    then summed as DECIMAL(18,4) — exact, order-independent, so the
+    cross-engine hash cannot drift on float summation order."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    rev = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+    ).cast("decimal(18,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.sum(rev).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_nation_revenue(d: str) -> str:
+    """DuckDB mirror of _nation_revenue (same per-row round-then-exact-
+    decimal-sum discipline)."""
+    if d != "d":
+        raise ValueError("duck dialect only — Spark side is the operator")
+    return """
+SELECT n_name, r_name,
+       sum(cast(round(l_extendedprice * (1.0 - l_discount), 4) AS DECIMAL(18,4))) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+GROUP BY n_name, r_name"""
+
+
+def _order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-shaped existence semi-join: orders in a quarter that have at
+    least one lineitem shipped after the order date, counted by priority.
+    Spark side is a LEFT SEMI join with a non-equi conjunct — the plan
+    stays a hash/SMJ semi on l_orderkey with the date predicate as a
+    join condition, never a cartesian."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cond = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > orders.o_orderdate
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_order_priority_counts(d: str) -> str:
+    """DuckDB mirror of _order_priority_counts (correlated EXISTS)."""
+    if d != "d":
+        raise ValueError("duck dialect only — Spark side is the operator")
+    return """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority"""
+
+
 WA_KEYSPACE = 2**20  # config.DedupConfig.keyspace_size — |alphabet|^L analog
 
 
@@ -1476,6 +1565,8 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_snapshot": _latest_snapshot,
     "wa2_survivor_counts": _survivor_counts("weighted_average2", "wa2_survivors"),
     "wa_survivor_counts": _survivor_counts("weighted_average", "wa_survivors"),
+    "nation_revenue": _nation_revenue,
+    "order_priority_counts": _order_priority_counts,
 }
 OPERATOR_ORACLES: dict[str, Callable[[str], str]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1489,6 +1580,8 @@ OPERATOR_ORACLES: dict[str, Callable[[str], str]] = {
     "latest_snapshot": q_latest_snapshot,
     "wa2_survivor_counts": q_wa2_survivor_counts,
     "wa_survivor_counts": q_wa_survivor_counts,
+    "nation_revenue": q_nation_revenue,
+    "order_priority_counts": q_order_priority_counts,
 }
 
 

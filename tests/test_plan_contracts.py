@@ -90,3 +90,29 @@ def test_lsh_sql_mirror_is_equi_joined(spark):
     plan = _plan(spark.sql(entry_mod.SQL_QUERIES["minhash_lsh_pairs"]("s")))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_nation_revenue_broadcasts_dims_and_prunes_scan(spark):
+    # dims (nation, region) must be broadcast, facts exchange on join
+    # keys, no nested loop; the lineitem scan must prune to the 3
+    # consumed columns
+    df = entry_mod.OPERATOR_QUERIES["nation_revenue"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    scans = re.findall(r"ReadSchema: (\S+)", plan)
+    li = [s for s in scans if "l_extendedprice" in s]
+    assert li and all(
+        "l_quantity" not in s and "l_tax" not in s and "l_returnflag" not in s
+        for s in li
+    ), scans
+
+
+def test_order_priority_counts_semi_join_shape(spark):
+    # existence check stays a semi join keyed on l_orderkey with the
+    # date conjunct as a join condition — never a full join + distinct,
+    # never a nested loop
+    df = entry_mod.OPERATOR_QUERIES["order_priority_counts"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
