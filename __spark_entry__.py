@@ -731,12 +731,15 @@ sims AS (SELECT fam, {mcols}, {sim} AS simhash FROM sigs)"""
 def q_flagship_pipeline(d: str) -> str:
     if d != "d":
         raise ValueError("duck dialect only — Spark side is the pipeline")
+    # mirrors DedupConfig's 32 bands x 2 rows (retuned round 5 — see
+    # config.py; equal 2-row slices <=> equal engine buckets modulo the
+    # documented 2^-64 xxhash collision)
     band_joins = "\n  UNION ALL\n  ".join(
         "SELECT a.fam AS src, b.fam AS dst, FALSE AS is_sub FROM sims a "
         "JOIN sims b ON "
-        + " AND ".join(f"a.m{4 * t + r} = b.m{4 * t + r}" for r in range(4))
+        + " AND ".join(f"a.m{2 * t + r} = b.m{2 * t + r}" for r in range(2))
         + " AND a.fam < b.fam"
-        for t in range(16)
+        for t in range(32)
     )
     n_eq = " + ".join(
         f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(64)

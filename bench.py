@@ -11,6 +11,9 @@ local[$SPARK_GRAFT_CPUS]:
   * ann_topk        — brute-force cosine top-k over `embeddings`
   * decontaminate   — 8-gram benchmark-overlap decontamination
   * semdedup        — SemDeDup-style within-cell embedding dedup
+  * wa2_estimator   — weighted_average2 survivor counts (reference CLI
+                      default) over per-cluster family histograms
+  * nation_revenue  — Q5-shaped relational rollup (broadcast dims)
   * synth_dedup_50k — pipeline over a 50k-doc JVM-synthesized corpus
                       (the throughput number quoted as docs/sec)
 
@@ -93,6 +96,9 @@ def run_bench(sf_dir: str, cpus: str, synth_docs: int = 50_000, only: str | None
     # round-4 additions (totals before r4 exclude these two keys)
     timed("decontaminate", lambda: q["decontaminate_ngram"](spark, sf_dir).count())
     timed("semdedup", lambda: q["semdedup_mark"](spark, sf_dir).count())
+    # round-5 additions (totals before r5 exclude these two keys)
+    timed("wa2_estimator", lambda: q["wa2_survivor_counts"](spark, sf_dir).count())
+    timed("nation_revenue", lambda: q["nation_revenue"](spark, sf_dir).count())
 
     synth_key = f"synth_dedup_{synth_docs // 1000}k"
     # the synth corpus is materialized to parquet ONCE (untimed setup,

@@ -47,8 +47,8 @@ def parse_args(argv):
     p.add_argument("--jaccard-threshold", type=float, default=0.5)
     p.add_argument("--shingle-k", type=int, default=5)
     p.add_argument("--num-perm", type=int, default=64)
-    p.add_argument("--lsh-bands", type=int, default=16)
-    p.add_argument("--lsh-rows", type=int, default=4)
+    p.add_argument("--lsh-bands", type=int, default=32)
+    p.add_argument("--lsh-rows", type=int, default=2)
     p.add_argument("--kmax", type=int, default=10)
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument(

@@ -111,3 +111,50 @@ def test_compact_snapshots_without_warc_ts_warns(tmp_path, capfd):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "compact-snapshots ignored" in proc.stderr
+
+
+def test_boundary_pair_recall_at_default_config(spark):
+    """VERDICT r4 #2: >= 100 true pairs planted AT the candidate
+    boundary (shingle Jaccard ~0.43-0.56 dispersed in sub-24-token
+    blocks, so the substring pass cannot rescue; token-edit pairs around
+    the hamming threshold). The default band config must recover
+    >= 0.99 of the pairs its own edge gate accepts — this is exactly
+    the bin where the old 16x4 banding measured 0.78
+    (BENCH/recall_boundary.py)."""
+    from umi_dedup_spark.config import DedupConfig
+    from umi_dedup_spark.functions.hashing import (
+        minhash_signature,
+        shingle_hashes,
+        simhash64,
+    )
+    from umi_dedup_spark.plans.pipeline import DedupPipeline
+    from umi_dedup_spark.synth import documents_to_pages, make_boundary_pairs
+
+    cfg = DedupConfig(shuffle_partitions=8)
+    docs, pairs = make_boundary_pairs(
+        seed=5, n_per_len=24, n_per_edit=6, hamming_edits=(1, 2, 3)
+    )
+    sh, sig, sim = {}, {}, {}
+    for r in docs.itertuples():
+        h = shingle_hashes(r.text, cfg.shingle_k)
+        sh[r.doc_id] = set(h)
+        sig[r.doc_id] = minhash_signature(h, cfg.num_perm, cfg.seed)
+        sim[r.doc_id] = simhash64(h)
+    truth = []
+    for p in pairs.itertuples():
+        est = float((sig[p.a_id] == sig[p.b_id]).mean())
+        ham = bin((sim[p.a_id] ^ sim[p.b_id]) & ((1 << 64) - 1)).count("1")
+        if ham <= cfg.hamming_threshold or est >= cfg.jaccard_threshold:
+            truth.append((p.a_id, p.b_id))
+    assert len(truth) >= 80, f"fixture too thin: {len(truth)} truth pairs"
+
+    res = DedupPipeline(spark, cfg).run(
+        documents_to_pages(spark.createDataFrame(docs))
+    )
+    assign = {
+        r["doc_id"]: r["cluster_id"]
+        for r in res.marked.select("doc_id", "cluster_id").collect()
+    }
+    hit = sum(1 for a, b in truth if assign.get(a) == assign.get(b))
+    recall = hit / len(truth)
+    assert recall >= 0.99, f"boundary recall {recall:.4f} ({hit}/{len(truth)})"

@@ -28,8 +28,20 @@ class DedupConfig:
 
     # --- LSH banding (analog of the (strand,pos) grouping scope,
     # reference lib/markdup_sam.py:64) ---
-    lsh_bands: int = 16
-    lsh_rows: int = 4                # bands*rows must == num_perm
+    # 32 bands x 2 rows (retuned round 5, measured in
+    # BENCH/recall_boundary.py): the edge gate accepts signature
+    # agreement >= 0.5, and banding must catch gate-passing pairs with
+    # >= 0.99 probability. 16x4 puts the s-curve midpoint (1/16)^(1/4)
+    # EXACTLY at 0.5 — adversarial boundary pairs measured 0.78 recall in
+    # the est [0.5,0.55) bin. 32x2 moves the midpoint to (1/32)^(1/2) ~
+    # 0.18: P(catch | agreement 0.5) = 1-(1-0.25)^32 > 0.9999, measured
+    # 309/309 on the boundary fixture. Cost: banded rows double (32/fam)
+    # and mid-similarity candidates rise — measured a WASH at 20k docs
+    # (pairs stage 1.57s -> 1.63s) and +3 candidates at sf0.1, because
+    # verification is the cheap signature-agreement gate the candidates
+    # already carry.
+    lsh_bands: int = 32
+    lsh_rows: int = 2                # bands*rows must == num_perm
 
     # --- directional edge predicate (reference lib/sequence_error.py:47-53:
     # hamming == threshold AND count[a] >= 2*count[b]-1; we generalize the

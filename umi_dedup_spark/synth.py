@@ -212,3 +212,93 @@ def documents_to_pages(df):
         "lang",
         "doc_id",
     )
+
+
+def make_boundary_pairs(
+    seed: int = 7,
+    jaccard_block_lens: tuple[int, ...] = (11, 12, 13, 14, 15, 16),
+    n_per_len: int = 40,
+    n_blocks: int = 10,
+    hamming_edits: tuple[int, ...] = (1, 2, 3, 4, 5, 6),
+    n_per_edit: int = 30,
+):
+    """Near-threshold recall fixture (VERDICT r4 #2): planted pairs that
+    sit AT the candidate-generation boundary, where LSH recall can
+    genuinely fall below 1.0.
+
+    Two pair populations, each pair in its own group with a group-unique
+    vocabulary (zero accidental cross-pair similarity):
+
+    * Jaccard-boundary pairs: both docs are ``n_blocks`` SHARED blocks of
+      ``L`` tokens separated by per-doc unique single tokens. Shared
+      shingles come only from block interiors (L-4 per block), so the
+      exact shingle-set Jaccard ~ (L-4)/(L+6) — L in 11..16 spans
+      J ~ 0.43..0.56, bracketing the 0.5 verification gate. Blocks are
+      shorter than the substring pass's 24-token window, so the substring
+      channel CANNOT rescue a missed LSH candidate — this isolates the
+      MinHash band s-curve.
+    * Hamming-boundary pairs: a base doc with ``e`` token replacements;
+      the realized SimHash distance is measured by the caller and binned
+      around the hamming_threshold (t-1 / t / t+1).
+
+    Returns ``(docs, pairs)`` pandas DataFrames: docs in the driver
+    ``documents`` shape (doc_id, text, lang, source, n_chars; source =
+    the pair's group, so ``lsh_recall_report``'s same-source blocking
+    applies), pairs = (a_id, b_id, kind, param).
+    """
+    rng = random.Random(seed)
+    docs: list[dict] = []
+    pairs: list[dict] = []
+    next_id = 0
+
+    def add_doc(text: str, source: str) -> int:
+        nonlocal next_id
+        did = next_id
+        next_id += 1
+        docs.append(
+            {
+                "doc_id": did,
+                "text": text,
+                "lang": "en",
+                "source": source,
+                "n_chars": len(text),
+            }
+        )
+        return did
+
+    grp = 0
+    for L in jaccard_block_lens:
+        for _ in range(n_per_len):
+            g = f"jb{grp}"
+            grp += 1
+            mk = lambda i: f"g{grp}x{i}"
+            n_shared = n_blocks * L
+            shared = [mk(i) for i in range(n_shared)]
+            blocks = [shared[b * L : (b + 1) * L] for b in range(n_blocks)]
+            ua = [mk(n_shared + i) for i in range(n_blocks + 1)]
+            ub = [mk(n_shared + n_blocks + 1 + i) for i in range(n_blocks + 1)]
+
+            def weave(uniq):
+                toks: list[str] = [uniq[0]]
+                for b, blk in enumerate(blocks):
+                    toks.extend(blk)
+                    toks.append(uniq[b + 1])
+                return " ".join(toks)
+
+            a = add_doc(weave(ua), g)
+            b = add_doc(weave(ub), g)
+            pairs.append({"a_id": a, "b_id": b, "kind": "jaccard", "param": L})
+
+    for e in hamming_edits:
+        for _ in range(n_per_edit):
+            g = f"hb{grp}"
+            grp += 1
+            base = [f"g{grp}h{i}" for i in range(120)]
+            var = list(base)
+            for pos in rng.sample(range(120), e):
+                var[pos] = f"g{grp}e{pos}"
+            a = add_doc(" ".join(base), g)
+            b = add_doc(" ".join(var), g)
+            pairs.append({"a_id": a, "b_id": b, "kind": "hamming", "param": e})
+
+    return pd.DataFrame(docs), pd.DataFrame(pairs)
