@@ -60,17 +60,25 @@ class DedupConfig:
     substring_window_tokens: int = 24   # tokens per verbatim window
     substring_anchor_stride: int = 8    # expected gap between anchors
 
-    # --- fingerprint input cap (perf knob, default OFF) ---
+    # --- fingerprint input cap ---
     # When set, every fingerprint (shingles -> MinHash/SimHash, winnowing
     # windows) is computed over only the FIRST N tokens of norm_text.
     # Semantics change, documented: two documents identical in their first
     # N tokens are near-dup candidates even if their tails differ, and a
     # verbatim overlap living entirely past token N is invisible to the
-    # substring pass. At 100 TB the long tail of a web page is usually
-    # boilerplate, so a cap of a few thousand tokens trades a small recall
-    # risk for bounding per-doc kernel cost; the SQL oracles do NOT mirror
-    # the cap, so oracle-compared runs must leave it None.
-    fingerprint_max_tokens: int | None = None
+    # substring pass. Default chosen from data (BENCH/cap_probe.py, NOTES
+    # "Round-5 measurements"): on 32k-token docs, uniform-edit near-dups
+    # keep recall 1.0 at ANY cap (prefix similarity estimates global
+    # similarity) while tail-only verbatim overlaps drop to 0.0 the
+    # moment the cap ends before the overlap; families-stage kernel cost
+    # fell 6.3s -> 1.2s at cap 4096. 65536 (~0.4 MB of text) never binds
+    # on realistic web pages or any board/test corpus — the SQL oracles
+    # do NOT mirror the cap, and stay exact because it never triggers
+    # there — but bounds the per-doc kernel cost of pathological
+    # multi-megabyte pages, the families stage's straggler tail at
+    # 10^12-doc scale. Production runs on long-document corpora where
+    # tail-overlap dedup matters must raise or disable it.
+    fingerprint_max_tokens: int | None = 65536
 
     # --- skew / bucket control ---
     max_bucket_families: int = 512   # all-pairs cap per LSH bucket
