@@ -84,11 +84,19 @@ def main() -> None:
         b: {c: [] for c in LEGS} for b in BINARIES
     }
     probes: list[float] = []
-    log_path = os.path.join(REPO, "BENCH", "scaling_r4.log")
+    log_path = os.path.join(REPO, "BENCH", os.environ.get("SCALING_LOG", "scaling_r4.log"))
     log = open(log_path, "a")
     for rep in range(RUNS):
         for cpus in LEGS:
-            for label, cwd in BINARIES.items():
+            # alternate binary order per rep: whoever runs FIRST in a leg
+            # pays that leg's fresh-page first-touch cost on this host
+            # (measured round 5: head@32 stalled 110-115s twice in a row
+            # while the r2 control, always second, ran 31s — the fixed
+            # dict order was handicapping HEAD, scaling_r5_orderbias.log)
+            order = list(BINARIES.items())
+            if rep % 2 == 1:
+                order.reverse()
+            for label, cwd in order:
                 healthy, p = wait_healthy()
                 probes.append(round(p, 3))
                 t0 = time.time()
@@ -157,9 +165,10 @@ def main() -> None:
         f"{summary['pairs'][k]['head_normalized']} |"
         for lo, hi in pairs for k in [f"{lo}->{hi}"]
     )
+    title = os.environ.get("SCALING_TITLE", "Round-4")
     md = f"""
 
-## Round-4 scaling run — HEAD vs same-window r2 control
+## {title} scaling run — HEAD vs same-window r2 control
 
 {RUNS} reps x {len(LEGS)} legs x 2 binaries, fully interleaved in one
 session, every run probe-gated (healthy < {HEALTHY_SEC}s) with 1 untimed
