@@ -1345,9 +1345,19 @@ def _nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     region = spark.read.parquet(f"{sf_dir}/region.parquet")
-    rev = F.round(
-        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
-    ).cast("decimal(18,4)")
+    # Per-row rounding replicates DuckDB's round(DOUBLE, 4) bit-for-bit:
+    # floor(x*10^4 + 0.5)/10^4 for x >= 0 (all IEEE double ops, identical
+    # in both engines), NOT Spark's F.round, which rounds the shortest
+    # decimal repr HALF_UP and disagrees with DuckDB on values within an
+    # ulp of a .00005 tie (measured: 1383/30000 adversarial near-tie
+    # doubles diverge under F.round, 0 under this formula — the
+    # CORRECTNESS_r05 nation_revenue hash drift).
+    x = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    p = F.lit(10000.0)
+    duck_round = F.when(x >= 0, F.floor(x * p + F.lit(0.5)) / p).otherwise(
+        -(F.floor(-x * p + F.lit(0.5)) / p)
+    )
+    rev = duck_round.cast("decimal(18,4)")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
