@@ -43,12 +43,21 @@ def _assert_match(spark, docs, threshold=0.5):
     # cap=0 forces the prefix-filtered path everywhere; the huge cap
     # forces the quadratic path everywhere; 3 exercises the split with
     # groups on both sides — all three must agree with the ground truth
+    # (bitset probe disabled so the caps actually select those paths)
     for cap in (0, 3, 10**9):
         got = jaccard_similarity_join(
             _tset(docs), id_col="doc_id", group_col="source",
             threshold=threshold, quadratic_group_cap=cap,
+            bitset_vocab_cap=0,
         )
         assert _rows(got) == want, f"cap={cap}"
+    # the small-universe bitset path (these corpora all have tiny
+    # vocabularies, so the default probe selects it) must agree too
+    got = jaccard_similarity_join(
+        _tset(docs), id_col="doc_id", group_col="source",
+        threshold=threshold,
+    )
+    assert _rows(got) == want, "bitset"
 
 
 def _mk(spark, rows):
@@ -62,9 +71,15 @@ def test_matches_quadratic_on_driver_testdata(spark):
     for cap in (0, 10**9):  # prefix path and quadratic path
         got = jaccard_similarity_join(
             _tset(docs), id_col="doc_id", group_col="source",
-            threshold=0.5, quadratic_group_cap=cap,
+            threshold=0.5, quadratic_group_cap=cap, bitset_vocab_cap=0,
         )
         assert _rows(got) == want, f"cap={cap}"
+    # default config: the driver corpus has a 31-token vocabulary, so the
+    # bitset path is the one the declared query actually runs
+    got = jaccard_similarity_join(
+        _tset(docs), id_col="doc_id", group_col="source", threshold=0.5,
+    )
+    assert _rows(got) == want, "bitset"
 
 
 def test_boundary_identical_and_disjoint(spark):
@@ -156,7 +171,8 @@ def test_caches_released(spark):
     docs = _mk(spark, [(1, "s", "a b"), (2, "s", "a b c")])
     caches: list = []
     out = jaccard_similarity_join(
-        _tset(docs), id_col="doc_id", group_col="source", caches=caches
+        _tset(docs), id_col="doc_id", group_col="source", caches=caches,
+        bitset_vocab_cap=0,
     )
     assert out.count() == 1
     # base projection + prefix index (both multi-consumer)
@@ -164,6 +180,41 @@ def test_caches_released(spark):
     for c in caches:
         c.unpersist()
     assert not any(c.is_cached for c in caches)
+    # bitset path: only the base projection is multi-consumer
+    caches = []
+    out = jaccard_similarity_join(
+        _tset(docs), id_col="doc_id", group_col="source", caches=caches
+    )
+    assert out.count() == 1
+    assert len(caches) == 1 and caches[0].is_cached
+    caches[0].unpersist()
+
+
+def test_bitset_path_properties(spark):
+    # vocab above the cap falls through to the array paths (same result);
+    # a 65-token vocabulary cannot fit a 64-bit mask
+    rows = [(i, "s", f"t{i} t{(i + 1) % 65} shared") for i in range(65)]
+    docs = _mk(spark, rows)
+    want = _rows(_quadratic(spark, docs, 0.5))
+    got = _rows(jaccard_similarity_join(
+        _tset(docs), id_col="doc_id", group_col="source", threshold=0.5
+    ))
+    assert got == want
+    # cap validation
+    with pytest.raises(ValueError):
+        jaccard_similarity_join(
+            _tset(docs), id_col="doc_id", group_col="source",
+            bitset_vocab_cap=65,
+        )
+    # groupless bitset join stays an equi-join (constant key), never a
+    # cartesian/BNLJ
+    small = _mk(spark, [(1, "s1", "a b c"), (2, "s2", "a b c"),
+                        (3, "s3", "x y z")])
+    out = jaccard_similarity_join(_tset(small), id_col="doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert _rows(out) == [(1, 2, 1.0)]
 
 
 def test_plan_has_no_quadratic_join(spark):
