@@ -97,7 +97,11 @@ def propagate_labels(
     )
     if num_partitions is not None:
         labels = labels.repartition(num_partitions, "fam")
-    labels = labels.localCheckpoint(eager=True)
+    # lazy: the blocks materialize inside round 0's single action instead
+    # of a separate serial job barrier (r6 — the eager init job was ~1.7s
+    # of the 3.6s labels stage at bench scale; round 0 consumes `labels`
+    # twice, and a lazy localCheckpoint still computes its blocks once)
+    labels = labels.localCheckpoint(eager=False)
     if _trace:
         print(f"[cc] init checkpoint {_time.time() - _t0:.2f}s", flush=True)
 

@@ -152,14 +152,15 @@ def _bitset_join(
         enc = enc.withColumn(
             "_jk", F.pmod(F.xxhash64("_id"), F.lit(1)).cast("int")
         )
-    spark = base.sparkSession
-    nparts = spark.sparkContext.defaultParallelism * 2
+    # probe-side parallelism comes from the caller's scan-parallelism
+    # floor on `base` (jaccard_similarity_join spreads under-split
+    # inputs before any projection), so no extra exchange here
     a = enc.select(
         *jk,
         F.col("_id").alias("a_id"),
         F.col("_sz").alias("_na"),
         F.col("_mask").alias("_ma"),
-    ).repartition(nparts)
+    )
     b = enc.select(
         *jk,
         F.col("_id").alias("b_id"),
@@ -236,12 +237,37 @@ def jaccard_similarity_join(
             raise ValueError(
                 f"bitset_vocab_cap must be in [0, 64], got {bitset_vocab_cap}"
             )
+        # probes run on the UNSPREAD base: their limits stay cheap (a
+        # round-robin exchange would force the full shuffle under a
+        # limit), and they only read token/id columns
         vocab = _small_universe_vocab(base, bitset_vocab_cap, bitset_build_cap)
-        if vocab is not None:
-            if caches is not None:
-                base = base.persist()
-                caches.append(base)
-            return _bitset_join(base, vocab, grp, t)
+    else:
+        vocab = None
+
+    # Scan-parallelism floor (r6, guide §2.5): a small input written as
+    # one parquet row group is unsplittable, so per-row work above this
+    # point (mask encoding, prefix explode, verification) runs on a
+    # single core. When the source yields fewer partitions than the
+    # session has task slots, spread the (narrow) rows first; at scale
+    # the condition never fires and no shuffle is added. NB: the caller
+    # controls whether TOKENIZATION parallelizes — the tokens expression
+    # lives in the caller's projection, below this exchange; callers
+    # with unsplittable small inputs should repartition the raw rows
+    # before projecting (see __spark_entry__._ngram_jaccard).
+    if not base.isStreaming:
+        slots = base.sparkSession.sparkContext.defaultParallelism
+        try:
+            n_in = base.rdd.getNumPartitions()
+        except Exception:
+            n_in = slots
+        if n_in < slots:
+            base = base.repartition(slots)
+
+    if vocab is not None:
+        if caches is not None:
+            base = base.persist()
+            caches.append(base)
+        return _bitset_join(base, vocab, grp, t)
 
     split = bool(gcols) and quadratic_group_cap > 0
     if split:

@@ -39,15 +39,33 @@ def brute_force_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for each query vector (self excluded)."""
+    """Exact top-k cosine neighbors for each query vector (self excluded).
+
+    Cost shape (r6): norms are computed once per ROW before the join
+    rather than once per pair — cos = dot(q,c) / (|q| * |c|) is the
+    identical IEEE expression (division by the product of the same two
+    sqrt doubles), but the |queries| * |corpus| pair stream now
+    evaluates ONE interpreted higher-order-function dot product instead
+    of three (measured at 20k vectors x 10 queries: 3.58s -> 1.69s).
+    Unrolling the dot into element_at chains was measured SLOWER (8s:
+    a 64-term expression tree defeats whole-stage codegen), so the HOF
+    dot stays."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    ).withColumn("_qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("_cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn")),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")

@@ -60,6 +60,35 @@ from umi_dedup_spark.operators.stats import (
 )
 
 
+def _plan_leaf(df: DataFrame) -> DataFrame:
+    """Zero-copy lineage truncation over a persisted stage (r6).
+
+    A persisted DataFrame substitutes its cache at PLANNING time, but its
+    logical plan still carries the full upstream lineage — every
+    downstream consumer re-pays Catalyst analysis over the whole pipeline
+    depth (measured: ~1.7s of driver time just to plan the CC fixpoint's
+    init labels at bench scale; the cost grows with pipeline depth, which
+    is exactly the VERDICT r4 "scale-flat fixed cost" in the labels
+    stage). Wrapping the executed RDD[InternalRow] as a LogicalRDD leaf
+    cuts the plan at the stage boundary WITHOUT copying data (unlike
+    localCheckpoint): the RDD reads the persisted blocks via
+    InMemoryTableScan. Trade-off: the leaf loses the child's output
+    partitioning metadata, so a downstream join on the stage's grouping
+    key re-exchanges the (narrow) stage output — exchanges of counted
+    stage rows are cheap; repeated whole-lineage analysis is not.
+    Falls back to the input unchanged if the internal API is missing."""
+    try:
+        spark = df.sparkSession
+        jdf = df._jdf
+        jrdd = jdf.queryExecution().toRdd()
+        jdf2 = spark._jsparkSession.internalCreateDataFrame(
+            jrdd, jdf.schema(), False
+        )
+        return DataFrame(jdf2, spark)
+    except Exception:
+        return df
+
+
 @dataclass
 class PipelineResult:
     marked: DataFrame
@@ -124,6 +153,11 @@ class DedupPipeline:
             # analysis over the stage's full logical lineage.
             df = df.persist()
             self.stage_rows[stage] = df.count()
+            # hand consumers a plan-truncated leaf over the persisted
+            # blocks: stage-over-stage lineage growth is what made every
+            # downstream toRdd/action pay whole-pipeline Catalyst
+            # analysis (see _plan_leaf)
+            df = _plan_leaf(df)
         if _trace:
             print(f"[stage {stage}] materialize {time.time() - _t0:.2f}s", flush=True)
         self.lineage.append(partition_lineage(df, stage))
@@ -227,10 +261,12 @@ class DedupPipeline:
             # untouched families (the vast majority of a web corpus) never
             # enter the loop — cluster_table() self-assigns them (C9
             # single-UMI shortcut, reference lib/sequence_error.py:131-132)
-            touched = (
-                edges.select(F.col("src").alias("fam"))
-                .unionByName(edges.select(F.col("dst").alias("fam")))
-                .distinct()
+            # no .distinct(): LEFT SEMI dedups inherently, and the
+            # distinct was a whole extra shuffle+aggregate ahead of the
+            # semi join's own exchange (r6; the init-labels job is half
+            # the labels stage wall at bench scale)
+            touched = edges.select(F.col("src").alias("fam")).unionByName(
+                edges.select(F.col("dst").alias("fam"))
             )
             nodes = fams.select(
                 F.col("norm_hash").alias("fam"), "fam_count", "fam_tb"

@@ -54,6 +54,15 @@ def _driver_java_opts(extra_conf: dict[str, str] | None) -> str:
     return " ".join(parts)
 
 
+def _core_count() -> int:
+    """The session's task-slot count: $SPARK_GRAFT_CPUS when numeric,
+    else the host's CPU count (the ``local[*]`` resolution)."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if cpus.isdigit():
+        return max(1, int(cpus))
+    return os.cpu_count() or 8
+
+
 def get_spark(
     app_name: str = "umi_dedup_spark",
     parallelism: int | None = None,
@@ -105,6 +114,22 @@ def get_spark(
         # because the JVM takes the last occurrence).
         .config("spark.driver.extraJavaOptions", _driver_java_opts(extra_conf))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Scan-parallelism floor (scale-adaptive, r6): a small parquet
+        # input (the 6MB documents table) packs into 1-2 splits at the
+        # 128MB default, so every scan that computes per-row work
+        # (normalize/hash/quality) runs on 1-2 of the session's cores
+        # while the rest idle — measured 3.4s of CPU on 2 tasks in the
+        # flagship docs stage. minPartitionNum floors the split count at
+        # the core count; openCostInBytes must drop below the 4MB default
+        # for the floor to bite on megabyte-sized files (split size =
+        # min(maxPartitionBytes, max(openCostInBytes, total/minPartitionNum))).
+        # At cluster scale total/minPartitionNum >> 128MB, so large scans
+        # keep the exact same 128MB splits — this only widens small ones.
+        .config(
+            "spark.sql.files.minPartitionNum",
+            str(parallelism if parallelism is not None else _core_count()),
+        )
+        .config("spark.sql.files.openCostInBytes", "262144")
         # Arrow batch cap bounds per-python-worker peak memory in the
         # fingerprint kernels (vectorized-across-rows numpy temporaries)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
