@@ -183,6 +183,11 @@ class DedupPipeline:
         # rides the survivor/cluster exchanges — payload bytes through
         # shuffles are what does not scale.
         docs_full = prepare_docs(pages, cfg)
+        # docs stays persisted: an interleaved A/B (r6, 4 pairs, one
+        # session) measured the lazy variant LOSING — the marked stage's
+        # two docs sub-consumers do not share an exchange in practice,
+        # so the recompute (+1s in marked) exceeds the ~0.3s persist
+        # barrier saved (lazy 8.1-8.8s pipeline vs persisted 7.1-8.0s)
         docs = timed("docs", lambda: docs_full.drop("text"))
 
         def build_families():
