@@ -1055,6 +1055,12 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
 # LSH + CC fixpoint, substring pass) — driver records rows-only check
 # --------------------------------------------------------------------
 def _register(spark: SparkSession, sf_dir: str) -> None:
+    # NB (r6): spreading the one-row-group documents scan across task
+    # slots here was measured SLOWER for the SQL-view queries (warm A/B:
+    # raw 0.34-0.35s vs spread 0.47-0.50s for exact_dedup_mark +
+    # minhash_sketch at sf1.0) — their per-row work is too cheap to pay
+    # a text shuffle. The spread pays off only where per-row work is
+    # heavy (prepare_docs, the set-similarity tokenize); views stay raw.
     for t in TABLES:
         try:
             spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)

