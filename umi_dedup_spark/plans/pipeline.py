@@ -170,7 +170,12 @@ class DedupPipeline:
 
         def timed(name, fn, materialize: bool = True):
             t0 = time.time()
-            out = self._stage(name, fn, resume, materialize)
+            # label the stage's jobs in the UI / REST API (guide §1.5)
+            self.spark.sparkContext.setJobDescription(f"dedup-stage:{name}")
+            try:
+                out = self._stage(name, fn, resume, materialize)
+            finally:
+                self.spark.sparkContext.setJobDescription(None)
             times[name] = round(time.time() - t0, 3)
             return out
 
