@@ -31,6 +31,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def parse_args(argv):
+    from umi_dedup_spark.config import DedupConfig
+
     p = argparse.ArgumentParser(description="near-duplicate detection + clustering")
     p.add_argument("--input", required=True, help="pages table (parquet dir or Iceberg id)")
     p.add_argument("--output", required=True, help="output root (marked/, clusters/, metrics/)")
@@ -50,6 +52,15 @@ def parse_args(argv):
     p.add_argument("--lsh-bands", type=int, default=32)
     p.add_argument("--lsh-rows", type=int, default=2)
     p.add_argument("--kmax", type=int, default=10)
+    p.add_argument(
+        "--fingerprint-max-tokens",
+        type=int,
+        default=DedupConfig.fingerprint_max_tokens,
+        help="cap per-doc tokens fed to the fingerprint kernel "
+        "(config.fingerprint_max_tokens); 0 or negative disables the cap "
+        "— without this flag spark-submit runs silently inherited the "
+        "config default and could not disable it (ADVICE r5)",
+    )
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument(
         "--compact-snapshots",
@@ -87,6 +98,11 @@ def main(argv=None):
         lsh_bands=args.lsh_bands,
         lsh_rows=args.lsh_rows,
         kmax=args.kmax,
+        fingerprint_max_tokens=(
+            args.fingerprint_max_tokens
+            if args.fingerprint_max_tokens and args.fingerprint_max_tokens > 0
+            else None
+        ),
     )
 
     pages = spark.read.parquet(args.input)

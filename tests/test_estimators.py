@@ -113,3 +113,21 @@ def test_deduplicate_counts_properties(counts, algo):
     assert int(out.sum()) <= c.sum()
     assert (out[c > 0] >= 1).all()
     assert (out[c == 0] == 0).all()
+
+
+def test_wa2_exact_integer_rounding_past_2_53():
+    # r6 (ADVICE r5): the weighted accumulator is exact Python int with
+    # explicit half-to-even, matching the SQL oracle at any magnitude.
+    from umi_dedup_spark.operators.estimators import _div_round_half_even
+
+    # agreement with Python round() on representable quotients
+    for num, den in [(7, 2), (5, 2), (9, 4), (10, 4), (0, 3), (1, 3),
+                     (2, 3), (3, 2), (123456789, 1000)]:
+        assert _div_round_half_even(num, den) == round(num / den), (num, den)
+    # exact halves round to even where floats cannot even represent the tie
+    big = (1 << 60) + 2  # even quotient
+    assert _div_round_half_even(big * 2 + 1, 2) == big  # .5 -> even (down)
+    assert _div_round_half_even((big + 1) * 2 + 1, 2) == big + 2  # .5 -> even (up)
+    # past 2^53 the float path would be lossy; the int path is exact
+    num = (1 << 57) + 3
+    assert _div_round_half_even(num, 1) == num

@@ -116,3 +116,22 @@ def test_plan_partial_agg_no_window_no_ts_sort(spark):
     for line in plan.splitlines():
         if "Sort [" in line:
             assert "warc_ts" not in line.split("Sort [", 1)[1].split("]")[0], line
+
+
+def test_nested_maptype_payload_rejected_with_clear_error(spark):
+    # r6 (ADVICE r5): MapType nested inside a struct or array payload
+    # column is as non-orderable as a top-level one — the guard must
+    # name the column instead of the opaque analysis error
+    import pytest
+    from pyspark.sql import functions as F
+
+    from umi_dedup_spark.operators.snapshot import latest_snapshot
+
+    df = spark.createDataFrame(
+        [(1, 10, "a")], "k long, ts long, v string"
+    ).withColumn("payload", F.struct(F.create_map(F.lit("x"), F.lit(1)).alias("m")))
+    with pytest.raises(TypeError, match="payload"):
+        latest_snapshot(df, keys=["k"], ts_col="ts")
+    # excluding the offending column still works
+    out = latest_snapshot(df, keys=["k"], ts_col="ts", payload=["v"])
+    assert out.collect()[0]["v"] == "a"

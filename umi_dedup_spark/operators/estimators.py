@@ -123,11 +123,28 @@ def estimate_weighted_average(counts: np.ndarray, keyspace: int) -> int:
     return int(round((c0 * n_obs + c1 * total) / (c0 + c1)))
 
 
+def _div_round_half_even(num: int, den: int) -> int:
+    """round(num / den) with Python's banker's rounding, in EXACT integer
+    arithmetic (num >= 0, den > 0). The float formulation loses exactness
+    once ``num`` exceeds 2^53 (ADVICE r5): per-cluster weighted sums
+    reach that around 8.6e9 total docs, where float round() would diverge
+    from the SQL oracle's spelled-out integer half-to-even."""
+    q, r = divmod(num, den)
+    if 2 * r > den:
+        return q + 1
+    if 2 * r < den:
+        return q
+    return q + (q & 1)  # exact half: round to even
+
+
 # ---------------------------------------------------------------- E3
 def estimate_weighted_average2(counts: np.ndarray, keyspace: int) -> int:
     """Each observed count value votes for truncating every count at
     (itself + 1); votes weighted by the count-value frequencies including
-    the inferred zero class."""
+    the inferred zero class. All arithmetic is exact Python-int (the
+    accumulator and final rounding match the SQL oracle bit-for-bit at
+    any magnitude; below 2^53 this is value-identical to the previous
+    float accumulation, since every partial sum was an exact float)."""
     counts = np.asarray(counts, dtype=np.int64)
     nz = counts[counts > 0]
     freq = Counter(int(c) for c in nz)
@@ -135,7 +152,7 @@ def estimate_weighted_average2(counts: np.ndarray, keyspace: int) -> int:
     freq[0] = n_umi - len(nz)
     values = sorted(freq)
 
-    weighted = 0.0
+    weighted = 0
     for ci, fi in freq.items():
         n_seen = trunc_sum = 0
         for cj in values:
@@ -145,7 +162,7 @@ def estimate_weighted_average2(counts: np.ndarray, keyspace: int) -> int:
             trunc_sum += cj * freq[cj]
         trunc_sum += (ci + 1) * (n_umi - n_seen)
         weighted += fi * trunc_sum
-    return int(round(weighted / n_umi))
+    return _div_round_half_even(weighted, n_umi)
 
 
 # ---------------------------------------------------------------- E4
@@ -260,7 +277,7 @@ def estimate_from_hist(
         n_umi = keyspace
         freq[0] = n_umi - n_obs
         vals = sorted(freq)
-        weighted = 0.0
+        weighted = 0  # exact int, see _div_round_half_even
         for ci, fi in freq.items():
             n_seen = trunc_sum = 0
             for cj in vals:
@@ -270,7 +287,7 @@ def estimate_from_hist(
                 trunc_sum += cj * freq[cj]
             trunc_sum += (ci + 1) * (n_umi - n_seen)
             weighted += fi * trunc_sum
-        return int(round(weighted / n_umi))
+        return _div_round_half_even(weighted, n_umi)
     if algorithm == "cluster":
         if n_obs == 0:
             return 0

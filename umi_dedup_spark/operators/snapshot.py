@@ -64,15 +64,28 @@ def latest_snapshot(
     tb = [tiebreak] if tiebreak else []
     if payload is None:
         payload = [c for c in df.columns if c not in (*keys, ts_col, *tb)]
-    from pyspark.sql.types import MapType
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def _has_map(dt) -> bool:
+        # recurse: a MapType nested inside a struct or array payload
+        # column is just as non-orderable as a top-level one and used to
+        # fail with the original opaque analysis error (ADVICE r5)
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return _has_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(_has_map(f.dataType) for f in dt.fields)
+        return False
 
     fields = {f.name: f.dataType for f in df.schema.fields}
-    bad = [c for c in payload if isinstance(fields.get(c), MapType)]
+    bad = [c for c in payload if c in fields and _has_map(fields[c])]
     if bad:
         raise TypeError(
-            f"latest_snapshot payload column(s) {bad} are MapType, which is "
-            "not orderable inside max(struct(...)); wrap with to_json() or "
-            "pass payload=[...] excluding them"
+            f"latest_snapshot payload column(s) {bad} contain MapType "
+            "(possibly nested in a struct/array), which is not orderable "
+            "inside max(struct(...)); wrap with to_json() or pass "
+            "payload=[...] excluding them"
         )
     packed = F.struct(
         F.col(ts_col).alias("_ts"),
