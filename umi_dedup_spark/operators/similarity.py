@@ -55,7 +55,21 @@ def brute_force_topk(
     ).withColumn("_qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    ).withColumn("_cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+    )
+    # scan-parallelism floor (r6, guide §2.5): a one-row-group parquet
+    # corpus is unsplittable, so the |queries| x |corpus| interpreted-HOF
+    # scoring loop ran on 1-2 cores. Spread the probe side across task
+    # slots when (and only when) the scan yields fewer partitions —
+    # a no-op on any at-scale input, and this is the verification
+    # kernel, not the scale path.
+    if not c.isStreaming:
+        slots = c.sparkSession.sparkContext.defaultParallelism
+        try:
+            if c.rdd.getNumPartitions() < slots:
+                c = c.repartition(slots)
+        except Exception:
+            pass
+    c = c.withColumn("_cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
